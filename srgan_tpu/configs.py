@@ -35,14 +35,14 @@ class LossWeights:
     cls: float = 1.0        # aux-classifier loss ("class" in the reference dict)
 
     @classmethod
-    def conventional_kl(cls, **kw) -> "LossWeights":
+    def conventional_kl(klass, **kw) -> "LossWeights":
         """restriction_type == "conventionalKL" (notebook/01 cell 16)."""
-        return cls(KL=0.1, batch_KL=0.0, corr_enc=0.0, hist=0.0, **kw)
+        return klass(KL=0.1, batch_KL=0.0, corr_enc=0.0, hist=0.0, **kw)
 
     @classmethod
-    def proposed_kl(cls, **kw) -> "LossWeights":
+    def proposed_kl(klass, **kw) -> "LossWeights":
         """restriction_type == "proposedKL" (notebook/01 cell 16)."""
-        return cls(KL=0.0, batch_KL=10.0, corr_enc=100.0, hist=100.0, **kw)
+        return klass(KL=0.0, batch_KL=10.0, corr_enc=100.0, hist=100.0, **kw)
 
 
 @dataclasses.dataclass(frozen=True)

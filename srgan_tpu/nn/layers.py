@@ -90,13 +90,13 @@ def avg_pool2d(x: Array, window: int, stride: int, padding: int = 0,
     dims = (1, window, window, 1)
     strides = (1, stride, stride, 1)
     pads = ((0, 0), (padding, padding), (padding, padding), (0, 0))
-    summed = jax.lax.reduce_window(x, jnp.array(0, x.dtype), jax.lax.add,
-                                   dims, strides, pads)
+    # NOTE: the init value must be a Python scalar 0 for JAX to lower this to
+    # the differentiable reduce_window_sum primitive.
+    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, dims, strides, pads)
     if count_include_pad or padding == 0:
         return summed / (window * window)
     ones = jnp.ones(x.shape[:3] + (1,), x.dtype)
-    counts = jax.lax.reduce_window(ones, jnp.array(0, x.dtype), jax.lax.add,
-                                   dims, strides, pads)
+    counts = jax.lax.reduce_window(ones, 0.0, jax.lax.add, dims, strides, pads)
     return summed / counts
 
 

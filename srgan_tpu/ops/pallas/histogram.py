@@ -35,7 +35,8 @@ def _interpret() -> bool:
 def _fwd_kernel(mu_ref, out_ref, *, bins, vmin, vmax, sigma):
     delta = (vmax - vmin) / bins
     norm = delta / (sigma * math.sqrt(2.0 * math.pi))
-    b_idx = jax.lax.broadcasted_iota(jnp.float32, (1, bins), 1)
+    # Mosaic requires integer iota; cast after (tpu.iota is int-only)
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, (1, bins), 1).astype(jnp.float32)
     centers = vmin + delta * (b_idx + 0.5)                      # (1, bins)
     n_dims = mu_ref.shape[1]
     for d in range(n_dims):                                     # static, tiny
@@ -48,7 +49,8 @@ def _fwd_kernel(mu_ref, out_ref, *, bins, vmin, vmax, sigma):
 def _bwd_kernel(mu_ref, g_ref, dmu_ref, *, bins, vmin, vmax, sigma):
     delta = (vmax - vmin) / bins
     norm = delta / (sigma * math.sqrt(2.0 * math.pi))
-    b_idx = jax.lax.broadcasted_iota(jnp.float32, (1, bins), 1)
+    # Mosaic requires integer iota; cast after (tpu.iota is int-only)
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, (1, bins), 1).astype(jnp.float32)
     centers = vmin + delta * (b_idx + 0.5)
     n_dims = mu_ref.shape[1]
     for d in range(n_dims):

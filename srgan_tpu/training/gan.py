@@ -1,0 +1,425 @@
+"""The unified GAN trainer — one jitted train step for all three variants.
+
+Behavioral spec (SURVEY.md §2.3 "trainer semantics", reference
+util_notebook.py):
+
+  variant "singlegan"       nb01: per-domain multi-scale D list, conditional
+                            encoder (EncoderOriginal), no class loss.
+  variant "singlegan_solo"  nb02: solo D + aux classifier, conditional encoder.
+  variant "srgan"           nb03/05: solo D, unconditional Encoder.
+
+Replicated semantics:
+  1. UnrolledGAN (util_notebook.py:369-411/:696-728): D updated k times, each
+     with *fresh* random latents; D params snapshot after the FIRST update
+     (quirk #8); G/E update once against the k-step D; D params restored to
+     the snapshot.  Adam moments of D are NOT restored (torch state_dict
+     restores params only).
+  2. Two-phase G/E update (:253-367/:596-694).  Phase 1:
+     ``errG.backward(retain); errE.backward(retain); optG.step(); optE.step()``
+     is mathematically a single grad of (errG + errE) wrt (G, E) since errE
+     does not touch G — one jax.grad call.  Phase 2 steps G a second time on
+     the regression losses.
+  3. The G step consumes the fakes from the LAST update_D call, gradient
+     flowing through G (retained graph).  In JAX we recompute
+     ``G(source, c_rand)`` inside the loss with the same ``c_rand`` — exact
+     rematerialization of the retained graph.
+  4. Per-domain D path: batch masked per domain (:225-249); per-domain Adams
+     == elementwise Adam over the stacked D param tree (masked-out grads are
+     zero but the step still runs, matching torch's zero-grad step decay).
+  5. Divergence (documented): phase 2 recomputes its forwards with the
+     phase-1-updated G/E params.  The reference backprops a graph whose
+     activations came from pre-step params but whose weights were updated
+     in-place by Adam (a torch-1.4 inplace artifact with no clean functional
+     equivalent).  The loss VALUES match; only the phase-2 gradient reference
+     point differs.
+
+TPU-native: the whole iteration (k D-steps + both G/E phases) is ONE jitted,
+state-donated function; data-parallel via NamedSharding on the batch axis —
+GSPMD inserts the gradient all-reduces and makes the batch-global losses
+(batch-KL / corrcoef / histogram) global automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from srgan_tpu.configs import ExperimentConfig
+from srgan_tpu.nn import (
+    Encoder,
+    EncoderOriginal,
+    SingleDiscriminatorOriginalMulti,
+    SingleDiscriminatorSoloMulti,
+    SingleGenerator,
+)
+from srgan_tpu.ops import losses as L
+from srgan_tpu.training.state import (
+    GANTrainState,
+    adam_apply,
+    adam_chain,
+    freeze_mask,
+    mask_grads,
+)
+
+Array = jax.Array
+
+
+def _dtype_of(name: str):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+
+
+class GANTrainer:
+    """Builds models + the jitted train step for an ExperimentConfig."""
+
+    def __init__(self, cfg: ExperimentConfig, mesh: Optional[Mesh] = None,
+                 cls_kernels: Tuple[int, int] = (8, 4), donate: bool = True):
+        self.donate = donate
+        if cfg.model.norm_type != "instance":
+            raise NotImplementedError(
+                "trainer supports the shipped instance-norm configs; "
+                "batch-norm models are available at the module level")
+        self.cfg = cfg
+        self.mesh = mesh
+        m = cfg.model
+        dtype = _dtype_of(cfg.train.compute_dtype)
+        self.generator = SingleGenerator(
+            nch_in=m.nch_in, nch=m.g_nch, reduce=m.g_reduce,
+            num_cls=m.g_num_cls, res_num=m.g_res_num, norm_type=m.norm_type,
+            num_con=m.num_con, dtype=dtype)
+        self.per_domain = cfg.trainer == "singlegan"
+        if self.per_domain:
+            self.discriminator = SingleDiscriminatorOriginalMulti(
+                nch_in=m.nch_in, nch=m.d_nch, reduce=m.d_reduce,
+                num_cls=m.d_num_cls, dtype=dtype)
+        else:
+            self.discriminator = SingleDiscriminatorSoloMulti(
+                nch_in=m.nch_in, nch=m.d_nch, reduce=m.d_reduce,
+                num_cls=m.d_num_cls, n_class=m.n_classes,
+                cls_kernels=cls_kernels, dtype=dtype)
+        self.conditional_e = cfg.trainer in ("singlegan", "singlegan_solo")
+        if self.conditional_e:
+            self.encoder = EncoderOriginal(
+                nch_in=m.nch_in, nch_out=m.ndim, nch=m.e_nch,
+                num_cls=m.e_num_cls, dtype=dtype)
+        else:
+            self.encoder = Encoder(
+                nch_in=m.nch_in, nch_out=m.ndim, nch=m.e_nch,
+                num_cls=m.e_num_cls, num_con=m.n_classes, dtype=dtype)
+
+        self.tx = adam_chain(cfg.train.adam_b1, cfg.train.adam_b2)
+        self.ref_label = np.eye(m.n_classes, dtype=np.float32)
+        self._jit_step = self._build_step()
+
+    # ------------------------------------------------------------------
+    # model call helpers
+    # ------------------------------------------------------------------
+    def _G(self, params, x, cond):
+        return self.generator.apply({"params": params}, x, cond)
+
+    def _D(self, params, x):
+        if self.per_domain:
+            # stacked per-domain params -> outputs (n_domains, B, h, w, 1) x2
+            return jax.vmap(
+                lambda p: self.discriminator.apply({"params": p}, x))(params)
+        return self.discriminator.apply({"params": params}, x)
+
+    def _E_trunk(self, params, x, onehot):
+        """One encoder forward returning (mu, logvar, class_out or None).
+
+        The reference calls E up to 3x per phase with identical inputs; the
+        trunk is deterministic so we compute it once and reuse (eps draws stay
+        independent, matching the reference's per-call resampling).
+        """
+        if self.conditional_e:
+            _, mu, logvar = self.encoder.apply(
+                {"params": params}, x, onehot, sample=False,
+                rngs={"reparam": jax.random.PRNGKey(0)})
+            return mu, logvar, None
+        _, mu, logvar, cls_out, _ = self.encoder.apply(
+            {"params": params}, x, sample=False,
+            rngs={"reparam": jax.random.PRNGKey(0)})
+        return mu, logvar, cls_out
+
+    @staticmethod
+    def _sample_latent(mu, logvar, key):
+        eps = jax.random.normal(key, mu.shape, jnp.float32)
+        return eps * jnp.exp(0.5 * logvar) + mu
+
+    def _onehot(self, labels):
+        return jnp.asarray(self.ref_label)[labels]
+
+    # ------------------------------------------------------------------
+    # the train step
+    # ------------------------------------------------------------------
+    def _build_step(self):
+        cfg = self.cfg
+        lw = cfg.loss
+        k = cfg.train.unrolled_k
+        ndim = cfg.model.ndim
+        n_classes = cfg.model.n_classes
+        n_batch_cfg = cfg.train.batch_size
+        use_latent = cfg.train.encoded_feature == "latent"
+        solo = not self.per_domain
+
+        def d_loss_fn(d_params, images, fake, onehot_src, src_labels,
+                      tgt_labels):
+            if solo:
+                adv_r, cls_r = self._D(d_params, images)
+                errD = L.lsgan_loss(adv_r, 1.0)
+                if lw.cls > 0:
+                    errD = errD + lw.cls * L.domain_classification_loss(
+                        cls_r, onehot_src)
+                adv_f, _ = self._D(d_params, jax.lax.stop_gradient(fake))
+                errD = errD + L.lsgan_loss(adv_f, 0.0)
+                return errD, errD
+            # per-domain: evaluate every stacked D on the full batch, mask.
+            adv_r = self._D(d_params, images)           # [(n,B,h,w,1)] x2
+            adv_f = self._D(d_params, jax.lax.stop_gradient(fake))
+            per_domain_err = []
+            for i in range(n_classes):
+                m_src = (src_labels == i)
+                m_tgt = (tgt_labels == i)
+                e = (L.masked_lsgan_loss([a[i] for a in adv_r], 1.0, m_src)
+                     + L.masked_lsgan_loss([a[i] for a in adv_f], 0.0, m_tgt))
+                per_domain_err.append(e)
+            total = sum(per_domain_err)
+            mean_err = total / n_classes
+            return total, mean_err
+
+        def ge_loss_fn(g_params, e_params, d_params, images, onehot_src,
+                       onehot_tgt, src_labels, tgt_labels, c_rand,
+                       hist_target, keys):
+            # --- fakes: rematerialize the retained graph from the last D step
+            fake = self._G(g_params, images, jnp.concatenate(
+                [onehot_tgt, c_rand], 1))
+
+            # --- encoder on source (one trunk forward, per-call eps draws)
+            mu, logvar, _ = self._E_trunk(e_params, images, onehot_src)
+            style_recon = (self._sample_latent(mu, logvar, keys[0])
+                           if use_latent else mu)
+            recon = self._G(g_params, fake, jnp.concatenate(
+                [onehot_src, style_recon], 1))
+
+            metrics = {}
+            # --- adversarial (+ class) for G on the fakes
+            if solo:
+                adv, cls_out = self._D(d_params, fake)
+                errG = L.lsgan_loss(adv, 1.0)
+                if lw.cls > 0:
+                    errG = errG + lw.cls * L.domain_classification_loss(
+                        cls_out, onehot_tgt)
+            else:
+                adv = self._D(d_params, fake)
+                errG = 0.0
+                for i in range(n_classes):
+                    errG = errG + L.masked_lsgan_loss(
+                        [a[i] for a in adv], 1.0, tgt_labels == i) / n_classes
+
+            err_cycle = L.l1_loss(images, recon)
+            errG = errG + lw.cycle * err_cycle
+            metrics["loss_cycle"] = err_cycle
+
+            errE_out = lw.cycle * err_cycle
+            if lw.idt > 0:
+                style_idt = (self._sample_latent(mu, logvar, keys[1])
+                             if use_latent else mu)
+                idt_img = self._G(g_params, images, jnp.concatenate(
+                    [onehot_src, style_idt], 1))
+                err_idt = L.l1_loss(images, idt_img)
+                errG = errG + lw.idt * err_idt
+                errE_out = errE_out + lw.idt * err_idt
+                metrics["loss_idt"] = err_idt
+
+            errE, div_metrics = L.diversification_loss(
+                mu, logvar, weights=lw, n_batch=n_batch_cfg,
+                hist_target=hist_target)
+            metrics.update(div_metrics)
+            errE_out = errE_out + errE
+
+            total = errG + errE
+            metrics["errG_phase1"] = errG
+            metrics["errE"] = errE_out
+            return total, metrics
+
+        def g2_loss_fn(g_params, e_params, images, onehot_src, onehot_tgt,
+                       c_rand, keys):
+            # style regression: |c_rand - E(G(source, c_rand)).mu|
+            fake = self._G(g_params, images, jnp.concatenate(
+                [onehot_tgt, c_rand], 1))
+            mu_t, _, _ = self._E_trunk(e_params, fake, onehot_tgt)
+            errG_ex = lw.reg * L.l1_loss(c_rand, mu_t)
+            if lw.idt_reg * lw.idt > 0:
+                if self.conditional_e:
+                    # SingleGAN flavor (:352-360): random source-style image
+                    c_rand_src = jax.random.normal(
+                        keys[0], (images.shape[0], ndim), jnp.float32)
+                    idt_img = self._G(g_params, images, jnp.concatenate(
+                        [onehot_src, c_rand_src], 1))
+                    mu_i, _, _ = self._E_trunk(e_params, idt_img, onehot_src)
+                    reg_target = c_rand_src
+                else:
+                    # SRGAN flavor (:680-687): encoder-driven identity image
+                    mu_s, logvar_s, _ = self._E_trunk(e_params, images, None)
+                    style = (self._sample_latent(mu_s, logvar_s, keys[1])
+                             if use_latent else mu_s)
+                    idt_img = self._G(g_params, images, jnp.concatenate(
+                        [onehot_src, style], 1))
+                    mu_i, _, _ = self._E_trunk(e_params, idt_img, None)
+                    reg_target = mu_s
+                errG_ex = errG_ex + (L.l1_loss(reg_target, mu_i)
+                                     * lw.idt_reg * (lw.idt / lw.cycle))
+            return errG_ex
+
+        def train_step(state: GANTrainState, images, src_labels, tgt_labels,
+                       rng, lr_g, lr_d, lr_e):
+            onehot_src = self._onehot(src_labels)
+            onehot_tgt = self._onehot(tgt_labels)
+            B = images.shape[0]
+
+            # ---------------- unrolled D updates ----------------
+            # k is static and small (<= 5): an unrolled Python loop lets the
+            # first-iteration snapshot be a plain reference (no masking), and
+            # XLA is free to schedule the k G-forwards independently.
+            keys = jax.random.split(rng, k + 4)
+            d_params, d_opt = state.d_params, state.d_opt
+            snap = None
+            errD0 = None
+            fake = latent = None
+            for i in range(k):
+                latent = jax.random.normal(keys[i], (B, ndim), jnp.float32)
+                fake = self._G(state.g_params, images, jnp.concatenate(
+                    [onehot_tgt, latent], 1))
+                grads, errD_mean = jax.grad(d_loss_fn, has_aux=True)(
+                    d_params, images, fake, onehot_src, src_labels, tgt_labels)
+                d_params, d_opt = adam_apply(self.tx, grads, d_opt, d_params,
+                                             lr_d)
+                if i == 0:
+                    snap = d_params      # snapshot AFTER first update (quirk #8)
+                    errD0 = errD_mean
+
+            # ---------------- phase 1: joint G/E ----------------
+            ge_keys = keys[k:k + 2]
+            (_, metrics), (g_grads, e_grads) = jax.value_and_grad(
+                ge_loss_fn, argnums=(0, 1), has_aux=True)(
+                    state.g_params, state.e_params, d_params, images,
+                    onehot_src, onehot_tgt, src_labels, tgt_labels, latent,
+                    state.hist_target, ge_keys)
+            if state.e_mask is not None:
+                e_grads = mask_grads(e_grads, state.e_mask)
+            g_params, g_opt = adam_apply(self.tx, g_grads, state.g_opt,
+                                         state.g_params, lr_g)
+            e_params, e_opt = adam_apply(self.tx, e_grads, state.e_opt,
+                                         state.e_params, lr_e)
+
+            # ---------------- phase 2: exclusive G ----------------
+            g2_keys = keys[k + 2:k + 4]
+            errG_ex, g2_grads = jax.value_and_grad(g2_loss_fn)(
+                g_params, e_params, images, onehot_src, onehot_tgt, latent,
+                g2_keys)
+            g_params, g_opt = adam_apply(self.tx, g2_grads, g_opt, g_params,
+                                         lr_g)
+
+            metrics = dict(metrics)
+            metrics["errD"] = errD0
+            metrics["errG"] = metrics.pop("errG_phase1") + errG_ex
+            metrics["errG_ex"] = errG_ex
+
+            new_state = state.replace(
+                step=state.step + 1,
+                g_params=g_params, g_opt=g_opt,
+                d_params=snap,          # restore: params only, not Adam state
+                d_opt=d_opt,
+                e_params=e_params, e_opt=e_opt,
+            )
+            return new_state, metrics
+
+        donate = (0,) if self.donate else ()
+        if self.mesh is not None:
+            repl = NamedSharding(self.mesh, P())
+            data = NamedSharding(self.mesh, P("data"))
+            return jax.jit(
+                train_step, donate_argnums=donate,
+                in_shardings=(repl, data, data, data, repl, repl, repl, repl),
+                out_shardings=(repl, repl),
+            )
+        return jax.jit(train_step, donate_argnums=donate)
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+    def init_state(self, rng: jax.Array, image_size: Optional[int] = None,
+                   e_params_override=None, freeze_pretrained: bool = False
+                   ) -> GANTrainState:
+        cfg = self.cfg
+        m = cfg.model
+        hw = image_size or m.image_size
+        kg, kd, ke, kh = jax.random.split(rng, 4)
+        dummy_img = jnp.zeros((2, hw, hw, m.nch_in), jnp.float32)
+        dummy_cond = jnp.zeros((2, m.num_con), jnp.float32)
+        g_params = self.generator.init(kg, dummy_img, dummy_cond)["params"]
+        if self.per_domain:
+            d_list = [
+                self.discriminator.init(jax.random.fold_in(kd, i),
+                                        dummy_img)["params"]
+                for i in range(m.n_classes)]
+            d_params = jax.tree.map(lambda *xs: jnp.stack(xs), *d_list)
+        else:
+            d_params = self.discriminator.init(kd, dummy_img)["params"]
+        e_rngs = {"params": ke, "reparam": jax.random.fold_in(ke, 1)}
+        if self.conditional_e:
+            onehot = jnp.zeros((2, m.n_classes), jnp.float32)
+            e_params = self.encoder.init(e_rngs, dummy_img, onehot)["params"]
+        else:
+            e_params = self.encoder.init(e_rngs, dummy_img)["params"]
+        if e_params_override is not None:
+            e_params = {**e_params, **e_params_override}
+
+        hist_target = (L.histogram_target(kh)
+                       if cfg.loss.batch_KL > 0 and cfg.loss.hist > 0 else None)
+        e_mask = freeze_mask(e_params) if freeze_pretrained else None
+        state = GANTrainState(
+            step=jnp.zeros((), jnp.int32),
+            g_params=g_params, d_params=d_params, e_params=e_params,
+            g_opt=self.tx.init(g_params), d_opt=self.tx.init(d_params),
+            e_opt=self.tx.init(e_params),
+            hist_target=hist_target, e_mask=e_mask)
+        if self.mesh is not None:
+            repl = NamedSharding(self.mesh, P())
+            state = jax.device_put(state, repl)
+        return state
+
+    def lr_at(self, epoch: int) -> Tuple[float, float, float]:
+        """ExponentialLR(gamma) stepped per epoch (util_notebook.py:118-131)."""
+        g = self.cfg.train.lr_gamma ** epoch
+        t = self.cfg.train
+        return t.lr_g * g, t.lr_d * g, t.lr_e * g
+
+    def step(self, state: GANTrainState, batch: Dict[str, Any],
+             rng: jax.Array, epoch: int = 0):
+        lr_g, lr_d, lr_e = self.lr_at(epoch)
+        return self._jit_step(state, batch["image"], batch["source_label"],
+                              batch["target_label"], rng,
+                              jnp.float32(lr_g), jnp.float32(lr_d),
+                              jnp.float32(lr_e))
+
+    # --- inference helpers (the G_transformation surface) ---------------
+    def transform(self, state: GANTrainState, images, target_labels,
+                  latent=None, rng=None):
+        """G_transformation with random or given latents
+        (util_notebook.py:134-186 / :510-561)."""
+        onehot = self._onehot(target_labels)
+        if latent is None:
+            latent = jax.random.normal(rng, (images.shape[0],
+                                             self.cfg.model.ndim), jnp.float32)
+        cond = jnp.concatenate([onehot, latent], 1)
+        return self._G(state.g_params, images, cond), latent
+
+    def encode(self, state: GANTrainState, images, labels=None):
+        """Encoder forward returning (mu, logvar, class_out_or_None)."""
+        onehot = self._onehot(labels) if labels is not None else None
+        return self._E_trunk(state.e_params, images, onehot)

@@ -1,0 +1,6 @@
+from srgan_tpu.parallel.mesh import make_mesh, shard_batch, replicate  # noqa: F401
+from srgan_tpu.parallel.collectives import (  # noqa: F401
+    global_batch_kl,
+    global_corrcoef_loss,
+    global_histogram_imitation,
+)

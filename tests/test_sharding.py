@@ -1,0 +1,114 @@
+"""Data-parallel correctness on the 8-device virtual CPU mesh.
+
+The single genuinely distributed-aware piece of this model family is the
+batch-global loss stack (SURVEY.md §2.7): these tests pin down that (a) the
+jit+NamedSharding path computes *global* statistics identical to one device,
+and (b) the explicit shard_map collectives match the jnp reference.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from srgan_tpu.configs import ExperimentConfig, LossWeights, ModelConfig, TrainConfig
+from srgan_tpu.ops import losses as L
+from srgan_tpu.parallel import (
+    global_batch_kl,
+    global_corrcoef_loss,
+    global_histogram_imitation,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+from srgan_tpu.training import GANTrainer
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_shard_map_batch_kl_matches_global(rng):
+    mesh = make_mesh()
+    mu = jnp.asarray(rng.standard_normal((64, 8), dtype=np.float32))
+    ref = L.batch_kl_loss(mu, 64)
+
+    f = shard_map(
+        functools.partial(global_batch_kl, n_batch_cfg=64, axis="data"),
+        mesh=mesh, in_specs=P("data"), out_specs=P())
+    got = f(jax.device_put(mu, NamedSharding(mesh, P("data"))))
+    assert float(got) == pytest.approx(float(ref), rel=1e-4)
+
+
+def test_shard_map_corrcoef_matches_global(rng):
+    mesh = make_mesh()
+    mu = jnp.asarray(rng.standard_normal((64, 8), dtype=np.float32))
+    ref = L.corrcoef_loss(mu.T)
+    f = shard_map(functools.partial(global_corrcoef_loss, axis="data"),
+                  mesh=mesh, in_specs=P("data"), out_specs=P())
+    got = f(jax.device_put(mu, NamedSharding(mesh, P("data"))))
+    assert float(got) == pytest.approx(float(ref), rel=1e-3)
+
+
+def test_shard_map_histogram_matches_global(rng):
+    mesh = make_mesh()
+    mu = jnp.asarray(rng.standard_normal((64, 8), dtype=np.float32))
+    target = L.histogram_target(jax.random.PRNGKey(0))
+    ref = L.histogram_imitation_loss(mu, target, use_pallas=False)
+    f = shard_map(
+        functools.partial(global_histogram_imitation, axis="data"),
+        mesh=mesh, in_specs=(P("data"), P()), out_specs=P())
+    got = f(jax.device_put(mu, NamedSharding(mesh, P("data"))), target)
+    assert float(got) == pytest.approx(float(ref), rel=1e-3)
+
+
+HW = 64
+
+
+def _tiny_cfg():
+    model = ModelConfig(image_size=HW, g_nch=8, g_res_num=1, d_nch=8,
+                        d_num_cls=3, e_nch=8, e_num_cls=2)
+    train = TrainConfig(batch_size=16, unrolled_k=1, encoded_feature="mu")
+    return ExperimentConfig(name="tiny8", model=model, train=train,
+                            loss=LossWeights.proposed_kl(cls=1.0),
+                            trainer="srgan")
+
+
+def _batch(b=16, seed=0):
+    r = np.random.default_rng(seed)
+    src = r.integers(0, 4, b)
+    return {"image": jnp.asarray(r.uniform(-1, 1, (b, HW, HW, 3))
+                                 .astype(np.float32)),
+            "source_label": jnp.asarray(src),
+            "target_label": jnp.asarray((src + r.integers(1, 4, b)) % 4)}
+
+
+def test_sharded_train_step_matches_single_device():
+    """One jitted step over the 8-device mesh == the single-device step:
+    same losses (incl. the batch-GLOBAL diversification terms) and same
+    updated params, to fp tolerance."""
+    cfg = _tiny_cfg()
+    batch = _batch()
+    rng = jax.random.PRNGKey(3)
+
+    t_single = GANTrainer(cfg, cls_kernels=(8, 4), donate=False)
+    s_single = t_single.init_state(jax.random.PRNGKey(0), image_size=HW)
+    n_single, m_single = t_single.step(s_single, batch, rng)
+
+    mesh = make_mesh()
+    t_mesh = GANTrainer(cfg, mesh=mesh, cls_kernels=(8, 4), donate=False)
+    s_mesh = t_mesh.init_state(jax.random.PRNGKey(0), image_size=HW)
+    sharded = shard_batch(batch, mesh)
+    n_mesh, m_mesh = t_mesh.step(s_mesh, sharded, rng)
+
+    for key in m_single:
+        assert float(m_mesh[key]) == pytest.approx(float(m_single[key]),
+                                                   rel=2e-3, abs=1e-5), key
+    for a, b in zip(jax.tree.leaves(n_single.g_params),
+                    jax.tree.leaves(n_mesh.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-5)

@@ -4,6 +4,10 @@ Everything here is designed for the XLA TPU backend: NHWC layouts (the MXU
 conv layout), fp32 parameters with a configurable compute dtype (bfloat16 on
 TPU), and normalization statistics always in fp32.
 
+bfloat16 note: convs/dots run at the module ``dtype``; the MXU accumulates
+bf16 operands in fp32 internally, and leaving the output dtype equal to the
+operand dtype keeps fwd/bwd cotangent dtypes consistent under jax.grad.
+
 Parity notes (checked by tests/test_layer_parity.py against torch CPU):
   - default init replicates torch's Conv2d/Linear reset_parameters
     (kaiming_uniform(a=sqrt(5)) == U(-1/sqrt(fan_in), 1/sqrt(fan_in)), same
@@ -145,7 +149,6 @@ class Conv2d(nn.Module):
             x.astype(self.dtype), kernel.astype(self.dtype),
             window_strides=(sh, sw), padding=pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             bias = self.param("bias", make_torch_bias_init(kh * kw * in_ch),
@@ -196,7 +199,6 @@ class ConvTranspose2d(nn.Module):
             padding=((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)),
             lhs_dilation=(sh, sw),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             bias = self.param("bias", make_torch_bias_init(fan_in),
@@ -217,8 +219,7 @@ class Dense(nn.Module):
         in_f = x.shape[-1]
         kernel = self.param("kernel", torch_linear_kernel_init,
                             (in_f, self.features), jnp.float32)
-        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
-                    preferred_element_type=jnp.float32)
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param("bias", make_torch_bias_init(in_f),
                               (self.features,), jnp.float32)

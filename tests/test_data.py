@@ -1,0 +1,136 @@
+"""Data-pipeline tests: filtering/split parity, transforms, label helpers."""
+
+import numpy as np
+import pytest
+
+from srgan_tpu.data import (
+    DataLoader,
+    FaceDataset,
+    build_label_folder,
+    class_encode,
+    get_class_label,
+    get_target,
+    make_synthetic_celeba,
+)
+
+
+@pytest.fixture(scope="module")
+def celeba(tmp_path_factory):
+    out = tmp_path_factory.mktemp("celeba")
+    img_root, attr_file = make_synthetic_celeba(str(out), n_per_class=10)
+    return img_root, attr_file
+
+
+def test_get_class_label_order():
+    """Class order [(1,1),(1,-1),(-1,1),(-1,-1)] (dataset.py:11-18)."""
+    assert get_class_label(2) == [(1, 1), (1, -1), (-1, 1), (-1, -1)]
+
+
+def test_class_encode_onehot():
+    ref = np.eye(4)
+    out = class_encode([2, 0], ref)
+    np.testing.assert_array_equal(out, [[0, 0, 1, 0], [1, 0, 0, 0]])
+
+
+def test_get_target_excludes_source():
+    labels = np.array([0, 1, 2, 3, 0])
+    tgt = get_target(labels, (0, 1, 2, 3), shuffle=True,
+                     rng=np.random.default_rng(0))
+    assert tgt.shape == (5, 3)
+    for row, src in zip(tgt, labels):
+        assert src not in row
+        assert sorted(row) == sorted(set(range(4)) - {src})
+
+
+def test_get_target_whole():
+    tgt = get_target(np.array([1, 2]), (0, 1, 2, 3), whole=True,
+                     shuffle=False)
+    np.testing.assert_array_equal(tgt, [[0, 1, 2, 3], [0, 1, 2, 3]])
+
+
+def test_dataset_filtering_and_split(celeba):
+    img_root, attr_file = celeba
+    ds = FaceDataset(img_root, attr_file=attr_file, data_type="train",
+                     train_num=6, val_num=2, test_num=2)
+    # 4 classes x train 6
+    assert len(ds) == 24
+    labels = np.asarray(ds.labels)
+    assert [np.sum(labels == i) for i in range(4)] == [6, 6, 6, 6]
+    # class-major ordering with sorted paths (quirk ledger #10)
+    assert labels.tolist() == sorted(labels.tolist())
+    assert ds.images[:6] == sorted(ds.images[:6])
+
+    val = FaceDataset(img_root, attr_file=attr_file, data_type="val",
+                      train_num=6, val_num=2, test_num=2)
+    test = FaceDataset(img_root, attr_file=attr_file, data_type="test",
+                       train_num=6, val_num=2, test_num=2)
+    assert len(val) == 8 and len(test) == 8
+    # splits are disjoint
+    assert not (set(ds.images) & set(val.images))
+    assert not (set(ds.images) & set(test.images))
+
+
+def test_dataset_train_num_capping(celeba):
+    """new_train_num = min(train_num, N - val - test) (dataset.py:111)."""
+    img_root, attr_file = celeba
+    ds = FaceDataset(img_root, attr_file=attr_file, data_type="train",
+                     train_num=10_000, val_num=2, test_num=3)
+    assert len(ds) == 4 * (10 - 2 - 3)
+
+
+def test_label_folder_roundtrip(celeba, tmp_path):
+    """The chunked-pickle path matches the direct attr-file path."""
+    img_root, attr_file = celeba
+    build_label_folder(attr_file, str(tmp_path / "lf"))
+    ds_a = FaceDataset(img_root, attr_file=attr_file, data_type="train",
+                       train_num=6, val_num=2, test_num=2)
+    ds_b = FaceDataset(img_root, label_root=str(tmp_path / "lf"),
+                       data_type="train", train_num=6, val_num=2, test_num=2)
+    assert ds_a.images == ds_b.images
+    assert ds_a.labels == ds_b.labels
+
+
+def test_transform_shape_and_range(celeba):
+    img_root, attr_file = celeba
+    ds = FaceDataset(img_root, attr_file=attr_file, data_type="test",
+                     train_num=6, val_num=2, test_num=2)
+    img, label = ds[0]
+    assert img.shape == (128, 128, 3)
+    assert img.dtype == np.float32
+    # per-image min-max to [-1, 1]: extremes are exactly hit
+    assert img.min() == pytest.approx(-1.0, abs=1e-5)
+    assert img.max() == pytest.approx(1.0, abs=1e-4)
+    assert label in range(4)
+
+
+def test_transform_matches_torchvision(celeba):
+    """Crop+resize parity with torchvision's CenterCrop(178)+Resize(128)."""
+    torchvision = pytest.importorskip("torchvision")
+    from torchvision import transforms as T
+    img_root, attr_file = celeba
+    ds = FaceDataset(img_root, attr_file=attr_file, data_type="test",
+                     train_num=6, val_num=2, test_num=2, flip=False)
+    raw = ds.load_raw(0)
+    ours = ds.transform(raw, flip=False)
+
+    ref_t = T.Compose([T.CenterCrop(178), T.Resize(128), T.ToTensor()])
+    ref = ref_t(raw).numpy().transpose(1, 2, 0)   # HWC [0,1]
+    ref = (ref - ref.min()) / (ref.max() - ref.min() + 1e-8) * 2 - 1
+    np.testing.assert_allclose(ours, ref, atol=2e-2)
+
+
+def test_loader_batches(celeba):
+    img_root, attr_file = celeba
+    ds = FaceDataset(img_root, attr_file=attr_file, data_type="train",
+                     train_num=6, val_num=2, test_num=2)
+    dl = DataLoader(ds, batch_size=8, drop_last=True, seed=0)
+    batches = list(dl)
+    assert len(batches) == len(dl) == 3
+    b = batches[0]
+    assert b["image"].shape == (8, 128, 128, 3)
+    assert b["source_label"].shape == (8,)
+    assert b["target_label"].shape == (8,)
+    assert (b["target_label"] != b["source_label"]).all()
+    # shuffling changes order between epochs
+    e2 = next(iter(dl))
+    assert not np.array_equal(b["image"], e2["image"])

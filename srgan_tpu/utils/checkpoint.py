@@ -1,0 +1,247 @@
+"""Checkpointing: orbax persistence + torch ``.pth`` importers.
+
+The reference checkpoints with ``torch.save(net.module.state_dict(), path)``
+every 3 epochs, hyperparams encoded in filenames, optimizer state NOT saved,
+and cross-stage transfer via ``load_state_dict(..., strict=False)``
+(SURVEY.md §5).  Here:
+
+  - ``save_checkpoint``/``restore_checkpoint``: orbax, full train state
+    (params AND optimizer moments — resume actually resumes)
+  - ``import_torch_*``: map the reference's shipped ``.pth`` state dicts onto
+    our param trees (OIHW->HWIO conv transpose, (out,in)->(in,out) dense
+    transpose, ConvTranspose (in,out,kh,kw)->(kh,kw,in,out)) so shipped
+    reference checkpoints drive output-fidelity checks (BASELINE.md)
+
+Key-name mapping follows the reference modules' attribute names
+(model.py:203-508); every importer validates that all torch keys are
+consumed and all target params assigned.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# orbax persistence
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(path: str, state: Any, step: Optional[int] = None):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckpter = ocp.StandardCheckpointer()
+    ckpter.save(os.path.join(path, f"step_{step}" if step is not None else
+                             "state"),
+                jax.device_get(state), force=True)
+    ckpter.wait_until_finished()
+
+
+def restore_checkpoint(path: str, target: Any, step: Optional[int] = None):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckpter = ocp.StandardCheckpointer()
+    return ckpter.restore(os.path.join(path, f"step_{step}"
+                                       if step is not None else "state"),
+                          jax.device_get(target))
+
+
+# ---------------------------------------------------------------------------
+# torch state-dict import
+# ---------------------------------------------------------------------------
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.numpy() for k, v in sd.items()}
+
+
+def _conv_w(a):       # OIHW -> HWIO
+    return jnp.asarray(np.transpose(a, (2, 3, 1, 0)))
+
+
+def _convT_w(a):      # (in, out, kh, kw) -> (kh, kw, in, out)
+    return jnp.asarray(np.transpose(a, (2, 3, 0, 1)))
+
+
+def _lin_w(a):        # (out, in) -> (in, out)
+    return jnp.asarray(np.transpose(a))
+
+
+def _vec(a):
+    return jnp.asarray(a)
+
+
+class _Importer:
+    """Accumulates torch-key -> target-path assignments with bookkeeping."""
+
+    def __init__(self, sd: Dict[str, np.ndarray]):
+        self.sd = dict(sd)
+        self.out: Dict = {}
+
+    def take(self, torch_key: str, path, fn):
+        if torch_key not in self.sd:
+            raise KeyError(f"missing torch key: {torch_key}")
+        node = self.out
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = fn(self.sd.pop(torch_key))
+
+    def cbinorm(self, prefix: str, path, affine: bool = True):
+        self.take(f"{prefix}.ConBias.0.weight", path + ("con_bias", "kernel"),
+                  _lin_w)
+        self.take(f"{prefix}.ConBias.0.bias", path + ("con_bias", "bias"),
+                  _vec)
+        if affine:
+            self.take(f"{prefix}.weight", path + ("scale",), _vec)
+            self.take(f"{prefix}.bias", path + ("bias",), _vec)
+
+    def finish(self, allow_leftover=()):
+        leftover = [k for k in self.sd
+                    if not any(k.startswith(p) for p in allow_leftover)]
+        if leftover:
+            raise ValueError(f"unconsumed torch keys: {leftover[:8]} ...")
+        return self.out
+
+
+def import_torch_generator(sd: Dict[str, np.ndarray], num_cls: int = 2,
+                           res_num: int = 6) -> Dict:
+    """SingleGenerator state dict (model.py:203-234 naming)."""
+    im = _Importer(sd)
+    for i in range(num_cls + 1):
+        im.take(f"down_convs.{i}.weight", (f"down_conv_{i}", "kernel"),
+                _conv_w)
+        im.cbinorm(f"down_cnorms.{i}", (f"down_cnorm_{i}",))
+    for i in range(res_num):
+        im.take(f"resBlocks.{i}.c1.weight", (f"res_{i}", "c1", "kernel"),
+                _conv_w)
+        im.take(f"resBlocks.{i}.c2.weight", (f"res_{i}", "c2", "kernel"),
+                _conv_w)
+        im.cbinorm(f"resBlocks.{i}.cn1", (f"res_{i}", "cn1"))
+        im.cbinorm(f"resBlocks.{i}.cn2", (f"res_{i}", "cn2"))
+    for j in range(num_cls):
+        im.take(f"up_convs.{j}.weight", (f"up_conv_{j}", "kernel"), _convT_w)
+    im.take(f"up_convs.{num_cls}.weight", ("up_conv_out", "kernel"), _conv_w)
+    return im.finish()
+
+
+def _import_solo_trunk(im: _Importer, prefix: str, target: str,
+                       num_cls: int, with_head: bool):
+    # torch Sequential: conv at even indices 0, 2, ..., final head conv at
+    # 2*num_cls (model.py:262-276 / :302-313)
+    for i in range(num_cls):
+        im.take(f"{prefix}.down_convs.{2 * i}.weight",
+                (target, f"conv_{i}", "kernel"), _conv_w)
+    if with_head:
+        im.take(f"{prefix}.down_convs.{2 * num_cls}.weight",
+                (target, "conv_out", "kernel"), _conv_w)
+        im.take(f"{prefix}.down_convs.{2 * num_cls}.bias",
+                (target, "conv_out", "bias"), _vec)
+
+
+def import_torch_original_discriminator(sd: Dict[str, np.ndarray],
+                                        num_cls: int = 4) -> Dict:
+    """SingleDiscriminator_original_multi (model.py:281-292)."""
+    im = _Importer(sd)
+    _import_solo_trunk(im, "discriminator1", "discriminator1", num_cls, True)
+    _import_solo_trunk(im, "discriminator2", "discriminator2", num_cls, True)
+    return im.finish()
+
+
+def import_torch_solo_discriminator(sd: Dict[str, np.ndarray],
+                                    num_cls: int = 4) -> Dict:
+    """SingleDiscriminator_solo_multi (model.py:318-346)."""
+    im = _Importer(sd)
+    _import_solo_trunk(im, "discriminator1", "discriminator1", num_cls, False)
+    _import_solo_trunk(im, "discriminator2", "discriminator2", num_cls, False)
+    for name in ("last_layer1", "last_layer2"):
+        im.take(f"{name}.weight", (name, "kernel"), _conv_w)
+        im.take(f"{name}.bias", (name, "bias"), _vec)
+    for name in ("classification_layer1", "classification_layer2"):
+        im.take(f"{name}.0.weight", (name, "kernel"), _conv_w)
+        im.take(f"{name}.0.bias", (name, "bias"), _vec)
+    return im.finish()
+
+
+def _import_encoder_trunk(im: _Importer, num_cls: int, conditional: bool):
+    im.take("first_layer.weight", ("first_layer", "kernel"), _conv_w)
+    im.take("first_layer.bias", ("first_layer", "bias"), _vec)
+    for i in range(num_cls):
+        im.take(f"layers.{i}.conv1.weight", (f"layers_{i}", "conv1", "kernel"),
+                _conv_w)
+        im.take(f"layers.{i}.cmp.0.weight",
+                (f"layers_{i}", "cmp_conv", "kernel"), _conv_w)
+        im.take(f"layers.{i}.shortcut.1.weight",
+                (f"layers_{i}", "shortcut_conv", "kernel"), _conv_w)
+        im.take(f"layers.{i}.shortcut.1.bias",
+                (f"layers_{i}", "shortcut_conv", "bias"), _vec)
+        if conditional:
+            im.cbinorm(f"layers.{i}.cnorm1", (f"layers_{i}", "cnorm1"))
+            im.cbinorm(f"layers.{i}.cnorm2", (f"layers_{i}", "cnorm2"))
+
+
+def import_torch_encoder(sd: Dict[str, np.ndarray], num_cls: int = 4,
+                         conditional: bool = False) -> Dict:
+    """Encoder (model.py:439-482) or Encoder_original (:378-411)."""
+    im = _Importer(sd)
+    _import_encoder_trunk(im, num_cls, conditional)
+    im.take("fcmean.weight", ("fcmean", "kernel"), _lin_w)
+    im.take("fcmean.bias", ("fcmean", "bias"), _vec)
+    im.take("fcvar.weight", ("fcvar", "kernel"), _lin_w)
+    im.take("fcvar.bias", ("fcvar", "bias"), _vec)
+    if not conditional:
+        im.take("fcclass.weight", ("fcclass", "kernel"), _lin_w)
+        im.take("fcclass.bias", ("fcclass", "bias"), _vec)
+    return im.finish()
+
+
+def import_torch_classifier(sd: Dict[str, np.ndarray],
+                            num_cls: int = 4) -> Dict:
+    """Encoder_classifier (model.py:484-508) — the nb04 checkpoint; drop its
+    params into ``Encoder`` via ``init_state(e_params_override=...)`` for the
+    nb05 strict=False transfer."""
+    im = _Importer(sd)
+    _import_encoder_trunk(im, num_cls, conditional=False)
+    im.take("fcclass.weight", ("fcclass", "kernel"), _lin_w)
+    im.take("fcclass.bias", ("fcclass", "bias"), _vec)
+    return im.finish()
+
+
+def import_torch_vgg(sd: Dict[str, np.ndarray]) -> Dict:
+    """torchvision vgg19_bn state dict -> {params, batch_stats} variables."""
+    from srgan_tpu.evaluation.features import VGG19_CFG
+
+    im = _Importer(sd)
+    params: Dict = {}
+    stats: Dict = {}
+    seq = 0
+    conv_i = 0
+    for v in VGG19_CFG:
+        if v == "M":
+            seq += 1
+            continue
+        im.take(f"features.{seq}.weight", (f"conv_{conv_i}", "kernel"),
+                _conv_w)
+        im.take(f"features.{seq}.bias", (f"conv_{conv_i}", "bias"), _vec)
+        im.take(f"features.{seq + 1}.weight", (f"bn_{conv_i}", "scale"), _vec)
+        im.take(f"features.{seq + 1}.bias", (f"bn_{conv_i}", "bias"), _vec)
+        # running stats routed into the batch_stats collection afterwards
+        stats[f"bn_{conv_i}"] = {
+            "mean": _vec(im.sd.pop(f"features.{seq + 1}.running_mean")),
+            "var": _vec(im.sd.pop(f"features.{seq + 1}.running_var")),
+        }
+        im.sd.pop(f"features.{seq + 1}.num_batches_tracked", None)
+        seq += 3
+        conv_i += 1
+    for t_idx, name in ((0, "fc0"), (3, "fc1"), (6, "fc2")):
+        im.take(f"classifier.{t_idx}.weight", (name, "kernel"), _lin_w)
+        im.take(f"classifier.{t_idx}.bias", (name, "bias"), _vec)
+    params = im.finish()
+    return {"params": params, "batch_stats": stats}

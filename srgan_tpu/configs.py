@@ -218,3 +218,19 @@ PRESETS = {
     "03_srgan_nopretraining": srgan_nopretraining,
     "05_srgan_full": srgan_full,
 }
+
+
+def get_adjustable_parameters(notebook_no: int = 1):
+    """The reference's experiment registry (util_notebook.py:10-26) as a
+    pandas table; None for notebooks whose registry was None."""
+    import numpy as np
+    import pandas as pd
+
+    if notebook_no == 1:
+        models = [["conventionalKL", 1, 0],
+                  ["preposedKL", 1, 0],
+                  ["preposedKL", 5, 0.5]]
+        return pd.DataFrame(np.array(models),
+                            columns=["restriction_type", "unrolled_k",
+                                     "idt_reg"])
+    return None

@@ -29,7 +29,7 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int = 128, shuffle: bool = True,
                  drop_last: bool = True, classes: Sequence[int] = (0, 1, 2, 3),
                  sample_targets: bool = True, num_workers: int = 8,
-                 seed: int = 0):
+                 seed: int = 0, use_native: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -38,6 +38,14 @@ class DataLoader:
         self.sample_targets = sample_targets
         self.num_workers = num_workers
         self._rng = np.random.default_rng(seed)
+        # native C++ decode path: needs a file-backed FaceDataset and the
+        # built libsrgan_dataio.so; silently falls back to PIL otherwise
+        self.use_native = False
+        if use_native and all(hasattr(dataset, a) for a in
+                              ("images", "labels", "crop", "image_size",
+                               "flip")):
+            from srgan_tpu import native
+            self.use_native = native.available()
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -55,18 +63,31 @@ class DataLoader:
         def fetch(i):
             return self.dataset[int(i)]
 
-        with ThreadPoolExecutor(self.num_workers) as pool:
-            for start in range(0, len(order), self.batch_size):
-                idx = order[start:start + self.batch_size]
+        def make_batch(idx):
+            if self.use_native:
+                from srgan_tpu import native
+                ds = self.dataset
+                paths = [ds.images[int(i)] for i in idx]
+                flips = (self._rng.random(len(idx)) < 0.5).astype(np.uint8) \
+                    if ds.flip else np.zeros(len(idx), np.uint8)
+                images = native.load_batch(paths, ds.crop, ds.image_size,
+                                           flips, self.num_workers)
+                labels = np.asarray([ds.labels[int(i)] for i in idx],
+                                    np.int32)
+            else:
                 items = list(pool.map(fetch, idx))
                 images = np.stack([im for im, _ in items])
                 labels = np.asarray([lb for _, lb in items], np.int32)
-                batch = {"image": images, "source_label": labels}
-                if self.sample_targets:
-                    tgt = get_target(labels, self.classes, whole=False,
-                                     shuffle=True, rng=self._rng)
-                    batch["target_label"] = tgt[:, 0].astype(np.int32)
-                yield batch
+            batch = {"image": images, "source_label": labels}
+            if self.sample_targets:
+                tgt = get_target(labels, self.classes, whole=False,
+                                 shuffle=True, rng=self._rng)
+                batch["target_label"] = tgt[:, 0].astype(np.int32)
+            return batch
+
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            for start in range(0, len(order), self.batch_size):
+                yield make_batch(order[start:start + self.batch_size])
 
 
 def prefetch_to_device(iterator, mesh=None, size: int = 2):

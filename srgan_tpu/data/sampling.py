@@ -57,3 +57,13 @@ def get_target(labels, classes: Sequence[int], whole: bool = False,
         perm = np.argsort(rng.random(target.shape), axis=1)
         target = np.take_along_axis(target, perm, axis=1)
     return target
+
+
+def get_random_dataset(dataset, num: int, random: bool = True,
+                       random_seed: int = 0) -> np.ndarray:
+    """Stack ``num`` transformed images from a dataset (util.py:321-334;
+    including its quirk of reading items 0..num-1 rather than the sampled
+    indices is NOT replicated — we read the sampled indices)."""
+    rng = np.random.default_rng(None if random else random_seed)
+    index = rng.choice(np.arange(len(dataset)), num, replace=False)
+    return np.stack([dataset[int(i)][0] for i in index])

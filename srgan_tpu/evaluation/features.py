@@ -106,8 +106,8 @@ def vgg_feature_extractor(variables, dtype=jnp.float32, num_classes=1000):
 def init_vgg(rng, num_classes: int = 1000, image_size: int = 224,
              dtype=jnp.float32):
     model = VGG19BN(num_classes=num_classes, dtype=dtype)
-    variables = model.init(rng, jnp.zeros((1, image_size, image_size, 3)),
-                           output="score")
+    variables = jax.jit(model.init, static_argnames=("output",))(
+        rng, jnp.zeros((1, image_size, image_size, 3)), output="score")
     return model, variables
 
 

@@ -51,3 +51,17 @@ def to_uint8_images(batch_nhwc) -> np.ndarray:
         a = np.clip(a, 0, 255).astype(np.uint8)
         out.append(a)
     return np.stack(out)
+
+
+def to_pil(img_chw_or_hwc):
+    """Single tensor -> PIL image (the ``ToPIL`` transform, util.py:118-146).
+
+    Accepts HWC or CHW float arrays; min-maxes for display like
+    ``image_from_output``.
+    """
+    from PIL import Image
+
+    arr = np.asarray(img_chw_or_hwc)
+    if arr.ndim == 3 and arr.shape[0] in (1, 3) and arr.shape[-1] not in (1, 3):
+        arr = np.transpose(arr, (1, 2, 0))
+    return Image.fromarray(to_uint8_images(arr[None])[0])

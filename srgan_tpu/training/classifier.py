@@ -84,7 +84,7 @@ class ClassifierTrainer:
                    image_size: Optional[int] = None) -> ClassifierState:
         hw = image_size or self.cfg.model.image_size
         dummy = jnp.zeros((2, hw, hw, self.cfg.model.nch_in), jnp.float32)
-        params = self.model.init(rng, dummy)["params"]
+        params = jax.jit(self.model.init)(rng, dummy)["params"]
         state = ClassifierState(step=jnp.zeros((), jnp.int32), params=params,
                                 opt=self.tx.init(params))
         if self.mesh is not None:

@@ -114,6 +114,10 @@ class GANTrainer:
         self.tx = adam_chain(cfg.train.adam_b1, cfg.train.adam_b2)
         self.ref_label = np.eye(m.n_classes, dtype=np.float32)
         self._jit_step = self._build_step()
+        # jitted inference paths (shape-polymorphic via retrace-and-cache)
+        self._jit_G_apply = jax.jit(
+            lambda p, x, c: self.generator.apply({"params": p}, x, c))
+        self._jit_E_apply = jax.jit(self._E_trunk)
 
     # ------------------------------------------------------------------
     # model call helpers
@@ -361,21 +365,25 @@ class GANTrainer:
         kg, kd, ke, kh = jax.random.split(rng, 4)
         dummy_img = jnp.zeros((2, hw, hw, m.nch_in), jnp.float32)
         dummy_cond = jnp.zeros((2, m.num_con), jnp.float32)
-        g_params = self.generator.init(kg, dummy_img, dummy_cond)["params"]
+        # jit the inits: unjitted op-by-op dispatch is pathologically slow on
+        # the tunneled TPU platform (minutes for the full-width models)
+        g_params = jax.jit(self.generator.init)(kg, dummy_img,
+                                                dummy_cond)["params"]
         if self.per_domain:
-            d_list = [
-                self.discriminator.init(jax.random.fold_in(kd, i),
-                                        dummy_img)["params"]
-                for i in range(m.n_classes)]
+            d_init = jax.jit(self.discriminator.init)
+            d_list = [d_init(jax.random.fold_in(kd, i), dummy_img)["params"]
+                      for i in range(m.n_classes)]
             d_params = jax.tree.map(lambda *xs: jnp.stack(xs), *d_list)
         else:
-            d_params = self.discriminator.init(kd, dummy_img)["params"]
+            d_params = jax.jit(self.discriminator.init)(kd,
+                                                        dummy_img)["params"]
         e_rngs = {"params": ke, "reparam": jax.random.fold_in(ke, 1)}
         if self.conditional_e:
             onehot = jnp.zeros((2, m.n_classes), jnp.float32)
-            e_params = self.encoder.init(e_rngs, dummy_img, onehot)["params"]
+            e_params = jax.jit(self.encoder.init)(e_rngs, dummy_img,
+                                                  onehot)["params"]
         else:
-            e_params = self.encoder.init(e_rngs, dummy_img)["params"]
+            e_params = jax.jit(self.encoder.init)(e_rngs, dummy_img)["params"]
         if e_params_override is not None:
             e_params = {**e_params, **e_params_override}
 
@@ -417,9 +425,9 @@ class GANTrainer:
             latent = jax.random.normal(rng, (images.shape[0],
                                              self.cfg.model.ndim), jnp.float32)
         cond = jnp.concatenate([onehot, latent], 1)
-        return self._G(state.g_params, images, cond), latent
+        return self._jit_G_apply(state.g_params, images, cond), latent
 
     def encode(self, state: GANTrainState, images, labels=None):
         """Encoder forward returning (mu, logvar, class_out_or_None)."""
         onehot = self._onehot(labels) if labels is not None else None
-        return self._E_trunk(state.e_params, images, onehot)
+        return self._jit_E_apply(state.e_params, images, onehot)

@@ -1,0 +1,150 @@
+"""Epoch-loop drivers — the notebook training cells as first-class functions.
+
+``train_gan`` mirrors the nb01/02/03/05 driver loop (cell 22/24): per-epoch
+iteration over a shuffled loader, target labels sampled per batch, loss
+tracking, a progress sample-grid ~3x per epoch, checkpoints every 3 epochs —
+plus what the reference lacks: JSONL metrics, a throughput meter, orbax
+checkpoints with optimizer state, and device prefetch.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from srgan_tpu.configs import ExperimentConfig
+from srgan_tpu.data import DataLoader, FaceDataset, make_synthetic_celeba
+from srgan_tpu.data.dataset import LABEL_DESCRIPTION
+from srgan_tpu.data.loader import prefetch_to_device
+from srgan_tpu.training.gan import GANTrainer
+from srgan_tpu.utils.checkpoint import (
+    import_torch_classifier,
+    load_torch_state_dict,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from srgan_tpu.utils.metrics import MetricLogger, StepTimer
+
+
+def build_datasets(cfg: ExperimentConfig, data_root: Optional[str] = None,
+                   attr_file: Optional[str] = None,
+                   label_root: Optional[str] = None,
+                   synthetic_dir: Optional[str] = None,
+                   synthetic_per_class: int = 16):
+    if data_root is None:
+        synthetic_dir = synthetic_dir or "/tmp/srgan_tpu_synthetic"
+        data_root, attr_file = make_synthetic_celeba(
+            synthetic_dir, n_per_class=synthetic_per_class)
+    t = cfg.train
+    common = dict(attr_file=attr_file, label_root=label_root,
+                  train_num=t.train_num, val_num=t.val_num,
+                  test_num=t.test_num, image_size=cfg.model.image_size)
+    train = FaceDataset(data_root, data_type="train", **common)
+    sample = FaceDataset(data_root, data_type="test", **common)
+    return train, sample
+
+
+def load_pretrained_encoder(path: str, cfg: ExperimentConfig):
+    """nb05 cell 22: load the nb04 classifier checkpoint into the encoder
+    (strict=False semantics — trunk + fcclass transfer, fcmean/fcvar fresh).
+    Accepts a torch .pth or an orbax dir."""
+    if path.endswith(".pth"):
+        sd = load_torch_state_dict(path)
+        return import_torch_classifier(sd, num_cls=cfg.model.e_num_cls)
+    return restore_checkpoint(path, None)
+
+
+def train_gan(cfg: ExperimentConfig, out_dir: str,
+              data_root: Optional[str] = None,
+              attr_file: Optional[str] = None,
+              label_root: Optional[str] = None,
+              mesh=None,
+              epochs: Optional[int] = None,
+              classifier_ckpt: Optional[str] = None,
+              sample_grids: bool = True,
+              checkpoint_every: int = 3,
+              synthetic_per_class: int = 16,
+              echo: bool = True,
+              resume: bool = False,
+              profile_dir: Optional[str] = None,
+              debug_nans: bool = False):
+    if debug_nans:
+        # jax-native replacement for the sanitizers the reference lacks
+        # (SURVEY.md §5): fail fast on the first non-finite value
+        jax.config.update("jax_debug_nans", True)
+    os.makedirs(out_dir, exist_ok=True)
+    train_ds, sample_ds = build_datasets(cfg, data_root, attr_file,
+                                         label_root,
+                                         synthetic_per_class=synthetic_per_class)
+    loader = DataLoader(train_ds, batch_size=cfg.train.batch_size,
+                        drop_last=cfg.train.drop_last,
+                        classes=tuple(range(cfg.model.n_classes)),
+                        seed=cfg.train.seed)
+    if len(loader) == 0:
+        raise ValueError(
+            f"dataset ({len(train_ds)}) smaller than batch "
+            f"({cfg.train.batch_size}); lower batch_size or add data")
+
+    trainer = GANTrainer(cfg, mesh=mesh)
+    e_override = None
+    if cfg.pretrained_encoder:
+        if classifier_ckpt is None:
+            raise ValueError("pretrained_encoder config needs "
+                             "classifier_ckpt (run pretrain_classifier "
+                             "first, nb04 equivalent)")
+        e_override = load_pretrained_encoder(classifier_ckpt, cfg)
+    state = trainer.init_state(jax.random.PRNGKey(cfg.train.seed),
+                               e_params_override=e_override,
+                               freeze_pretrained=cfg.pretrained_encoder)
+    start_epoch = 0
+    if resume:
+        import glob as _glob
+        ckpts = sorted(_glob.glob(os.path.join(out_dir, "ckpt", "step_*")),
+                       key=lambda p: int(p.rsplit("_", 1)[1]))
+        if ckpts:
+            start_epoch = int(ckpts[-1].rsplit("_", 1)[1])
+            state = restore_checkpoint(os.path.join(out_dir, "ckpt"),
+                                       jax.device_get(state),
+                                       step=start_epoch)
+            print(f"resumed from epoch {start_epoch}")
+
+    logger = MetricLogger(os.path.join(out_dir, "metrics.jsonl"), echo=echo)
+    timer = StepTimer()
+    rng = jax.random.PRNGKey(cfg.train.seed + 1)
+    epochs = epochs if epochs is not None else cfg.train.epochs
+    interval = max(len(loader) // 3, 1)
+
+    step = 0
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+    for epoch in range(start_epoch, epochs):
+        timer.reset()
+        for it, batch in enumerate(prefetch_to_device(loader, mesh)):
+            rng, sub = jax.random.split(rng)
+            state, metrics = trainer.step(state, batch, sub, epoch)
+            timer.update(cfg.train.batch_size)
+            step += 1
+            if it % interval == 0:
+                # sync (scalar fetch) so the throughput meter is honest
+                logger.log(metrics, epoch=epoch, step=step,
+                           images_per_sec=timer.images_per_sec)
+                if sample_grids and len(sample_ds):
+                    from srgan_tpu.utils.viz import training_progress_grid
+                    fig = training_progress_grid(
+                        trainer, state, sample_ds,
+                        min(53, len(sample_ds) - 1), LABEL_DESCRIPTION,
+                        rng=sub)
+                    fig.savefig(os.path.join(
+                        out_dir, f"progress_e{epoch:03d}_i{it:05d}.png"))
+                    import matplotlib.pyplot as plt
+                    plt.close(fig)
+        if checkpoint_every and epoch % checkpoint_every == 0:
+            save_checkpoint(os.path.join(out_dir, "ckpt"), state, step=epoch)
+    if profile_dir:
+        jax.profiler.stop_trace()
+    save_checkpoint(os.path.join(out_dir, "ckpt"), state, step=epochs)
+    logger.close()
+    return trainer, state

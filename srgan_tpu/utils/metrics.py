@@ -70,3 +70,19 @@ class StepTimer:
     def ms_per_step(self) -> float:
         dt = time.perf_counter() - self._t0
         return dt / self._steps * 1000 if self._steps else 0.0
+
+
+def pickle_save(data, path):
+    """util.py:61-82."""
+    import pickle
+
+    with open(path, "wb") as f:
+        pickle.dump(data, f)
+
+
+def pickle_load(path):
+    """util.py:84-106."""
+    import pickle
+
+    with open(path, "rb") as f:
+        return pickle.load(f)

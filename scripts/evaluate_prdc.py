@@ -70,8 +70,10 @@ def main():
                              if test_ds.labels[i] == c]) for c in classes}
 
     trainer = GANTrainer(cfg)
-    target = jax.device_get(
-        trainer.init_state(jax.random.PRNGKey(0)))
+    # pretrained-encoder configs carry an e_mask tree in their train state;
+    # build the restore target with the same structure
+    target = jax.device_get(trainer.init_state(
+        jax.random.PRNGKey(0), freeze_pretrained=cfg.pretrained_encoder))
     state = restore_checkpoint(args.ckpt, target, step=args.ckpt_step)
 
     evaluators = {}

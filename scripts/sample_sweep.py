@@ -52,7 +52,10 @@ def main():
                           image_size=cfg.model.image_size)
 
     trainer = GANTrainer(cfg)
-    target = jax.device_get(trainer.init_state(jax.random.PRNGKey(0)))
+    # pretrained-encoder configs carry an e_mask tree in their train state;
+    # build the restore target with the same structure
+    target = jax.device_get(trainer.init_state(
+        jax.random.PRNGKey(0), freeze_pretrained=cfg.pretrained_encoder))
     state = restore_checkpoint(args.ckpt, target, step=args.ckpt_step)
 
     if args.sweep_dim is not None:

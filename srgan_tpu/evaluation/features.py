@@ -93,12 +93,18 @@ class VGG19BN(nn.Module):
 
 
 def vgg_feature_extractor(variables, dtype=jnp.float32, num_classes=1000):
-    """Returns a jitted (images_nhwc_normalized) -> (B, 4096) function."""
-    model = VGG19BN(num_classes=num_classes, dtype=dtype)
+    """Returns a jitted (images_nhwc_normalized) -> (B, 4096) function.
 
-    @jax.jit
+    Weights are passed as jit arguments, NOT closure-captured: captured
+    params become embedded HLO constants (a ~0.5 GB program upload that the
+    remote-compile path rejects).
+    """
+    model = VGG19BN(num_classes=num_classes, dtype=dtype)
+    jit_apply = jax.jit(
+        lambda v, x: model.apply(v, x, output="feature"))
+
     def extract(x):
-        return model.apply(variables, x, output="feature")
+        return jit_apply(variables, x)
 
     return extract
 

@@ -157,6 +157,14 @@ class GANTrainer:
     def _onehot(self, labels):
         return jnp.asarray(self.ref_label)[labels]
 
+    def _G_pair(self, params, x1, c1, x2, c2):
+        """Two generator applications fused into one 2B-batch forward —
+        per-sample ops (convs, instance norm, CBINorm) make this exact."""
+        b = x1.shape[0]
+        out = self._G(params, jnp.concatenate([x1, x2], 0),
+                      jnp.concatenate([c1, c2], 0))
+        return out[:b], out[b:]
+
     # ------------------------------------------------------------------
     # the train step
     # ------------------------------------------------------------------
@@ -172,18 +180,23 @@ class GANTrainer:
 
         def d_loss_fn(d_params, images, fake, onehot_src, src_labels,
                       tgt_labels):
+            B = images.shape[0]
+            both = jnp.concatenate([images, jax.lax.stop_gradient(fake)], 0)
             if solo:
-                adv_r, cls_r = self._D(d_params, images)
+                adv, cls = self._D(d_params, both)
+                adv_r = [a[:B] for a in adv]
+                adv_f = [a[B:] for a in adv]
+                cls_r = [c[:B] for c in cls]
                 errD = L.lsgan_loss(adv_r, 1.0)
                 if lw.cls > 0:
                     errD = errD + lw.cls * L.domain_classification_loss(
                         cls_r, onehot_src)
-                adv_f, _ = self._D(d_params, jax.lax.stop_gradient(fake))
                 errD = errD + L.lsgan_loss(adv_f, 0.0)
                 return errD, errD
             # per-domain: evaluate every stacked D on the full batch, mask.
-            adv_r = self._D(d_params, images)           # [(n,B,h,w,1)] x2
-            adv_f = self._D(d_params, jax.lax.stop_gradient(fake))
+            adv = self._D(d_params, both)               # [(n,2B,h,w,1)] x2
+            adv_r = [a[:, :B] for a in adv]
+            adv_f = [a[:, B:] for a in adv]
             per_domain_err = []
             for i in range(n_classes):
                 m_src = (src_labels == i)
@@ -206,8 +219,17 @@ class GANTrainer:
             mu, logvar, _ = self._E_trunk(e_params, images, onehot_src)
             style_recon = (self._sample_latent(mu, logvar, keys[0])
                            if use_latent else mu)
-            recon = self._G(g_params, fake, jnp.concatenate(
-                [onehot_src, style_recon], 1))
+            if lw.idt > 0:
+                style_idt = (self._sample_latent(mu, logvar, keys[1])
+                             if use_latent else mu)
+                recon, idt_img = self._G_pair(
+                    g_params,
+                    fake, jnp.concatenate([onehot_src, style_recon], 1),
+                    images, jnp.concatenate([onehot_src, style_idt], 1))
+            else:
+                idt_img = None
+                recon = self._G(g_params, fake, jnp.concatenate(
+                    [onehot_src, style_recon], 1))
 
             metrics = {}
             # --- adversarial (+ class) for G on the fakes
@@ -230,10 +252,6 @@ class GANTrainer:
 
             errE_out = lw.cycle * err_cycle
             if lw.idt > 0:
-                style_idt = (self._sample_latent(mu, logvar, keys[1])
-                             if use_latent else mu)
-                idt_img = self._G(g_params, images, jnp.concatenate(
-                    [onehot_src, style_idt], 1))
                 err_idt = L.l1_loss(images, idt_img)
                 errG = errG + lw.idt * err_idt
                 errE_out = errE_out + lw.idt * err_idt
@@ -253,30 +271,34 @@ class GANTrainer:
         def g2_loss_fn(g_params, e_params, images, onehot_src, onehot_tgt,
                        c_rand, keys):
             # style regression: |c_rand - E(G(source, c_rand)).mu|
-            fake = self._G(g_params, images, jnp.concatenate(
-                [onehot_tgt, c_rand], 1))
-            mu_t, _, _ = self._E_trunk(e_params, fake, onehot_tgt)
-            errG_ex = lw.reg * L.l1_loss(c_rand, mu_t)
+            B = images.shape[0]
+            cond_fake = jnp.concatenate([onehot_tgt, c_rand], 1)
             if lw.idt_reg * lw.idt > 0:
                 if self.conditional_e:
                     # SingleGAN flavor (:352-360): random source-style image
-                    c_rand_src = jax.random.normal(
-                        keys[0], (images.shape[0], ndim), jnp.float32)
-                    idt_img = self._G(g_params, images, jnp.concatenate(
-                        [onehot_src, c_rand_src], 1))
-                    mu_i, _, _ = self._E_trunk(e_params, idt_img, onehot_src)
-                    reg_target = c_rand_src
+                    reg_target = jax.random.normal(keys[0], (B, ndim),
+                                                   jnp.float32)
+                    cond_idt = jnp.concatenate([onehot_src, reg_target], 1)
                 else:
                     # SRGAN flavor (:680-687): encoder-driven identity image
                     mu_s, logvar_s, _ = self._E_trunk(e_params, images, None)
                     style = (self._sample_latent(mu_s, logvar_s, keys[1])
                              if use_latent else mu_s)
-                    idt_img = self._G(g_params, images, jnp.concatenate(
-                        [onehot_src, style], 1))
-                    mu_i, _, _ = self._E_trunk(e_params, idt_img, None)
                     reg_target = mu_s
-                errG_ex = errG_ex + (L.l1_loss(reg_target, mu_i)
+                    cond_idt = jnp.concatenate([onehot_src, style], 1)
+                fake, idt_img = self._G_pair(g_params, images, cond_fake,
+                                             images, cond_idt)
+                onehot_both = jnp.concatenate([onehot_tgt, onehot_src], 0)
+                mu_both, _, _ = self._E_trunk(
+                    e_params, jnp.concatenate([fake, idt_img], 0),
+                    onehot_both if self.conditional_e else None)
+                errG_ex = lw.reg * L.l1_loss(c_rand, mu_both[:B])
+                errG_ex = errG_ex + (L.l1_loss(reg_target, mu_both[B:])
                                      * lw.idt_reg * (lw.idt / lw.cycle))
+            else:
+                fake = self._G(g_params, images, cond_fake)
+                mu_t, _, _ = self._E_trunk(e_params, fake, onehot_tgt)
+                errG_ex = lw.reg * L.l1_loss(c_rand, mu_t)
             return errG_ex
 
         def train_step(state: GANTrainState, images, src_labels, tgt_labels,

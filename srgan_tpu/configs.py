@@ -10,7 +10,7 @@ shipped experiment arm (BASELINE.json "configs").
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 

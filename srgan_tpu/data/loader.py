@@ -16,7 +16,6 @@ The reference drives training with ``torch.utils.data.DataLoader(batch_size=
 from __future__ import annotations
 
 import collections
-import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional, Sequence
 

@@ -19,7 +19,7 @@ Three extractor variants (evaluation.py:38-63):
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

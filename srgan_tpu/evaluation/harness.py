@@ -11,7 +11,7 @@ tables fall out directly (``comparison_table``).
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, Optional, Sequence
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ Parity notes (checked by tests/test_layer_parity.py against torch CPU):
 from __future__ import annotations
 
 import math
-from typing import Any, Sequence, Tuple, Union
+from typing import Any, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -41,7 +41,6 @@ GSPMD inserts the gradient all-reduces and makes the batch-global losses
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax

@@ -13,7 +13,6 @@ import os
 from typing import Optional
 
 import jax
-import numpy as np
 
 from srgan_tpu.configs import ExperimentConfig
 from srgan_tpu.data import DataLoader, FaceDataset, make_synthetic_celeba
@@ -131,7 +130,7 @@ def train_gan(cfg: ExperimentConfig, out_dir: str,
                 # sync (scalar fetch) so the throughput meter is honest
                 logger.log(metrics, epoch=epoch, step=step,
                            images_per_sec=timer.images_per_sec)
-                if sample_grids and len(sample_ds):
+                if sample_grids and len(sample_ds) and it == 0:
                     from srgan_tpu.utils.viz import training_progress_grid
                     fig = training_progress_grid(
                         trainer, state, sample_ds,

@@ -11,7 +11,7 @@ retention — producing the "vgg-CelebA" PRDC feature extractor.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

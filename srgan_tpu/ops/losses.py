@@ -215,12 +215,23 @@ def diversification_loss(mu: Array, logvar: Array, *, weights, n_batch: int,
 
     Returns (errE, metrics_dict).
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     errE = jnp.float32(0.0)
     metrics = {}
     if weights.KL > 0:
         v = kl_loss(mu, logvar)
         errE = errE + v * weights.KL
         metrics["loss_KL"] = v
+    if (use_pallas and weights.batch_KL > 0 and weights.corr_enc > 0
+            and weights.hist > 0):
+        # the full proposed stack: one fused Pallas pass over mu
+        from srgan_tpu.ops.pallas.diversification import fused_diversification
+        bkl, corr, hist = fused_diversification(mu, hist_target, n_batch)
+        errE = errE + (bkl * weights.batch_KL + corr * weights.corr_enc
+                       + hist * weights.hist)
+        metrics.update(loss_batch_KL=bkl, loss_corr=corr, loss_hist=hist)
+        return errE, metrics
     if weights.batch_KL > 0:
         v = batch_kl_loss(mu, n_batch)
         errE = errE + v * weights.batch_KL

@@ -151,3 +151,35 @@ def test_pallas_histogram_matches_jnp(rng):
     g2 = jax.grad(f_ref)(mu)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_fused_diversification_matches_jnp(rng):
+    """Fused Pallas kernel (interpret on CPU) == the three jnp losses,
+    values and gradients."""
+    from srgan_tpu.ops.pallas.diversification import fused_diversification
+    mu = jnp.asarray(rng.standard_normal((32, 8), dtype=np.float32))
+    target = L.histogram_target(jax.random.PRNGKey(0))
+    got = fused_diversification(mu, target, n_batch_cfg=32)
+    ref = jnp.stack([
+        L.batch_kl_loss(mu, 32),
+        L.corrcoef_loss(mu.T),
+        L.histogram_imitation_loss(mu, target, use_pallas=False),
+    ])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    w = jnp.asarray([10.0, 100.0, 100.0])
+
+    def f_fused(m):
+        return jnp.sum(fused_diversification(m, target, 32) * w)
+
+    def f_ref(m):
+        return (10.0 * L.batch_kl_loss(m, 32)
+                + 100.0 * L.corrcoef_loss(m.T)
+                + 100.0 * L.histogram_imitation_loss(m, target,
+                                                     use_pallas=False))
+
+    g1 = jax.grad(f_fused)(mu)
+    g2 = jax.grad(f_ref)(mu)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-3, atol=1e-4)

@@ -37,6 +37,11 @@ def build_datasets(cfg: ExperimentConfig, data_root: Optional[str] = None,
         synthetic_dir = synthetic_dir or "/tmp/srgan_tpu_synthetic"
         data_root, attr_file = make_synthetic_celeba(
             synthetic_dir, n_per_class=synthetic_per_class)
+        # small synthetic fixture: don't let the preset's test_num swallow it
+        if cfg.train.test_num >= synthetic_per_class:
+            import dataclasses as _dc
+            cfg = _dc.replace(cfg, train=_dc.replace(
+                cfg.train, test_num=max(synthetic_per_class // 4, 1)))
     t = cfg.train
     common = dict(attr_file=attr_file, label_root=label_root,
                   train_num=t.train_num, val_num=t.val_num,
@@ -69,15 +74,17 @@ def train_gan(cfg: ExperimentConfig, out_dir: str,
               echo: bool = True,
               resume: bool = False,
               profile_dir: Optional[str] = None,
-              debug_nans: bool = False):
+              debug_nans: bool = False,
+              synthetic_dir_override: Optional[str] = None):
     if debug_nans:
         # jax-native replacement for the sanitizers the reference lacks
         # (SURVEY.md §5): fail fast on the first non-finite value
         jax.config.update("jax_debug_nans", True)
     os.makedirs(out_dir, exist_ok=True)
-    train_ds, sample_ds = build_datasets(cfg, data_root, attr_file,
-                                         label_root,
-                                         synthetic_per_class=synthetic_per_class)
+    train_ds, sample_ds = build_datasets(
+        cfg, data_root, attr_file, label_root,
+        synthetic_dir=synthetic_dir_override,
+        synthetic_per_class=synthetic_per_class)
     loader = DataLoader(train_ds, batch_size=cfg.train.batch_size,
                         drop_last=cfg.train.drop_last,
                         classes=tuple(range(cfg.model.n_classes)),

@@ -12,7 +12,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Tuple
 
-import jax.numpy as jnp
+import numpy as np
 
 
 @dataclasses.dataclass(frozen=True)
@@ -115,9 +115,9 @@ class ExperimentConfig:
     pretrained_encoder: bool = False   # load + freeze classifier trunk (nb05)
 
     @property
-    def ref_label(self) -> jnp.ndarray:
+    def ref_label(self) -> np.ndarray:
         """One-hot reference label matrix (``ref_label = np.eye(4)``, nb01 cell 13)."""
-        return jnp.eye(self.model.n_classes, dtype=jnp.float32)
+        return np.eye(self.model.n_classes, dtype=np.float32)
 
 
 def _base_model() -> ModelConfig:

@@ -112,3 +112,35 @@ def test_sharded_train_step_matches_single_device():
                     jax.tree.leaves(n_mesh.g_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=1e-5)
+
+
+def test_per_domain_sharded_matches_single_device():
+    """The vmapped stacked-D trainer (nb01) under GSPMD: masked per-domain
+    losses over a sharded batch == single device."""
+    cfg = ExperimentConfig(
+        name="tiny8pd",
+        model=ModelConfig(image_size=HW, g_nch=8, g_res_num=1, d_nch=8,
+                          d_num_cls=3, e_nch=8, e_num_cls=2),
+        train=TrainConfig(batch_size=16, unrolled_k=1,
+                          encoded_feature="latent"),
+        loss=LossWeights.conventional_kl(cls=0.0),
+        trainer="singlegan")
+    batch = _batch()
+    rng = jax.random.PRNGKey(5)
+
+    t_single = GANTrainer(cfg, donate=False)
+    s_single = t_single.init_state(jax.random.PRNGKey(0), image_size=HW)
+    n_single, m_single = t_single.step(s_single, batch, rng)
+
+    mesh = make_mesh()
+    t_mesh = GANTrainer(cfg, mesh=mesh, donate=False)
+    s_mesh = t_mesh.init_state(jax.random.PRNGKey(0), image_size=HW)
+    n_mesh, m_mesh = t_mesh.step(s_mesh, shard_batch(batch, mesh), rng)
+
+    for key in m_single:
+        assert float(m_mesh[key]) == pytest.approx(float(m_single[key]),
+                                                   rel=2e-3, abs=1e-5), key
+    for a, b in zip(jax.tree.leaves(n_single.d_params),
+                    jax.tree.leaves(n_mesh.d_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-5)

@@ -54,11 +54,10 @@ def main():
     trainer = VGGFinetuneTrainer(n_classes=4, lr=args.lr)
     pretrained = None
     if args.imagenet_pth:
+        from srgan_tpu.evaluation.features import init_vgg
         pretrained = import_torch_vgg(load_torch_state_dict(args.imagenet_pth))
         # replace the 1000-way head with a fresh 4-way one (evaluation.py:56)
-        _, fresh = __import__("srgan_tpu.evaluation.features",
-                              fromlist=["init_vgg"]).init_vgg(
-            jax.random.PRNGKey(0), num_classes=4)
+        _, fresh = init_vgg(jax.random.PRNGKey(0), num_classes=4)
         pretrained["params"]["fc2"] = fresh["params"]["fc2"]
     state = trainer.init_state(jax.random.PRNGKey(0), pretrained)
 

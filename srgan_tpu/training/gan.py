@@ -76,7 +76,8 @@ class GANTrainer:
     """Builds models + the jitted train step for an ExperimentConfig."""
 
     def __init__(self, cfg: ExperimentConfig, mesh: Optional[Mesh] = None,
-                 cls_kernels: Tuple[int, int] = (8, 4), donate: bool = True):
+                 cls_kernels: Optional[Tuple[int, int]] = None,
+                 donate: bool = True):
         self.donate = donate
         if cfg.model.norm_type != "instance":
             raise NotImplementedError(
@@ -96,6 +97,12 @@ class GANTrainer:
                 nch_in=m.nch_in, nch=m.d_nch, reduce=m.d_reduce,
                 num_cls=m.d_num_cls, dtype=dtype)
         else:
+            if cls_kernels is None:
+                # classification-head kernels sized to the trunk's output
+                # maps (the reference hardcodes 8/4 for 128px / 2^4,
+                # model.py:330-331); generalize to any geometry
+                k1 = m.image_size // (2 ** m.d_num_cls)
+                cls_kernels = (k1, k1 // 2)
             self.discriminator = SingleDiscriminatorSoloMulti(
                 nch_in=m.nch_in, nch=m.d_nch, reduce=m.d_reduce,
                 num_cls=m.d_num_cls, n_class=m.n_classes,

@@ -13,7 +13,7 @@ from srgan_tpu.training.loop import train_gan
 
 def tiny_cfg() -> ExperimentConfig:
     model = ModelConfig(image_size=64, g_nch=8, g_res_num=1, d_nch=8,
-                        d_num_cls=3, e_nch=8, e_num_cls=2)
+                        d_num_cls=2, e_nch=8, e_num_cls=2)
     train = TrainConfig(batch_size=8, unrolled_k=1, encoded_feature="mu",
                         train_num=8, val_num=0, test_num=2)
     return ExperimentConfig(name="loop_tiny", model=model, train=train,

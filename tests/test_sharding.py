@@ -66,12 +66,12 @@ def test_shard_map_histogram_matches_global(rng):
     assert float(got) == pytest.approx(float(ref), rel=1e-3)
 
 
-HW = 64
+HW = 32
 
 
 def _tiny_cfg():
     model = ModelConfig(image_size=HW, g_nch=8, g_res_num=1, d_nch=8,
-                        d_num_cls=3, e_nch=8, e_num_cls=2)
+                        d_num_cls=2, e_nch=8, e_num_cls=2)
     train = TrainConfig(batch_size=16, unrolled_k=1, encoded_feature="mu")
     return ExperimentConfig(name="tiny8", model=model, train=train,
                             loss=LossWeights.proposed_kl(cls=1.0),
@@ -95,12 +95,12 @@ def test_sharded_train_step_matches_single_device():
     batch = _batch()
     rng = jax.random.PRNGKey(3)
 
-    t_single = GANTrainer(cfg, cls_kernels=(8, 4), donate=False)
+    t_single = GANTrainer(cfg, donate=False)
     s_single = t_single.init_state(jax.random.PRNGKey(0), image_size=HW)
     n_single, m_single = t_single.step(s_single, batch, rng)
 
     mesh = make_mesh()
-    t_mesh = GANTrainer(cfg, mesh=mesh, cls_kernels=(8, 4), donate=False)
+    t_mesh = GANTrainer(cfg, mesh=mesh, donate=False)
     s_mesh = t_mesh.init_state(jax.random.PRNGKey(0), image_size=HW)
     sharded = shard_batch(batch, mesh)
     n_mesh, m_mesh = t_mesh.step(s_mesh, sharded, rng)
@@ -120,7 +120,7 @@ def test_per_domain_sharded_matches_single_device():
     cfg = ExperimentConfig(
         name="tiny8pd",
         model=ModelConfig(image_size=HW, g_nch=8, g_res_num=1, d_nch=8,
-                          d_num_cls=3, e_nch=8, e_num_cls=2),
+                          d_num_cls=2, e_nch=8, e_num_cls=2),
         train=TrainConfig(batch_size=16, unrolled_k=1,
                           encoded_feature="latent"),
         loss=LossWeights.conventional_kl(cls=0.0),

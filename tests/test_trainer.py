@@ -1,8 +1,7 @@
 """Trainer semantics tests — the behavioral spec from SURVEY.md §2.3.
 
-Uses a tiny 32px config (g_num_cls=2, d_num_cls=3 with cls_kernels sized to
-the 4x4/2x2 trunk maps is invalid; we use 64px with d_num_cls=3 so the solo
-class heads' hardcoded-style kernels fit) to keep CPU compile fast.
+Uses a tiny 32px config (d_num_cls=2 so the solo class heads' 8/4 kernels
+match the 8x8/4x4 trunk maps) to keep CPU compile fast.
 """
 
 import dataclasses
@@ -21,12 +20,12 @@ from srgan_tpu.configs import (
 )
 from srgan_tpu.training import GANTrainer
 
-HW = 64
+HW = 32
 
 
 def tiny_cfg(trainer="srgan", k=2, **loss_kw) -> ExperimentConfig:
     model = ModelConfig(image_size=HW, g_nch=8, g_res_num=1, d_nch=8,
-                        d_num_cls=3, e_nch=8, e_num_cls=2)
+                        d_num_cls=2, e_nch=8, e_num_cls=2)
     train = TrainConfig(batch_size=8, unrolled_k=k, encoded_feature="mu")
     loss = LossWeights.proposed_kl(**loss_kw)
     return ExperimentConfig(name="tiny", model=model, train=train, loss=loss,
@@ -56,7 +55,7 @@ def leaves_equal_trees(a, b):
 @pytest.mark.parametrize("trainer", ["srgan", "singlegan_solo", "singlegan"])
 def test_train_step_runs_and_updates(trainer):
     cfg = tiny_cfg(trainer)
-    t = GANTrainer(cfg, cls_kernels=(8, 4), donate=False)
+    t = GANTrainer(cfg, donate=False)
     state = t.init_state(jax.random.PRNGKey(0), image_size=HW)
     batch = make_batch()
     new_state, metrics = t.step(state, batch, jax.random.PRNGKey(1))
@@ -77,8 +76,8 @@ def test_unrolled_restore_semantics():
     updates."""
     cfg_k1 = tiny_cfg("srgan", k=1)
     cfg_k3 = tiny_cfg("srgan", k=3)
-    t1 = GANTrainer(cfg_k1, cls_kernels=(8, 4), donate=False)
-    t3 = GANTrainer(cfg_k3, cls_kernels=(8, 4), donate=False)
+    t1 = GANTrainer(cfg_k1, donate=False)
+    t3 = GANTrainer(cfg_k3, donate=False)
     s1 = t1.init_state(jax.random.PRNGKey(0), image_size=HW)
     s3 = t3.init_state(jax.random.PRNGKey(0), image_size=HW)
     assert leaves_equal_trees(s1.d_params, s3.d_params)
@@ -97,7 +96,7 @@ def test_conventional_kl_gating():
     cfg = dataclasses.replace(cfg, loss=LossWeights.conventional_kl(cls=1.0))
     cfg = dataclasses.replace(
         cfg, train=dataclasses.replace(cfg.train, encoded_feature="latent"))
-    t = GANTrainer(cfg, cls_kernels=(8, 4), donate=False)
+    t = GANTrainer(cfg, donate=False)
     state = t.init_state(jax.random.PRNGKey(0), image_size=HW)
     _, metrics = t.step(state, make_batch(), jax.random.PRNGKey(1))
     assert "loss_KL" in metrics
@@ -107,7 +106,7 @@ def test_conventional_kl_gating():
 def test_frozen_encoder_trunk():
     """nb05 freeze trick: only fcmean/fcvar of E may change."""
     cfg = tiny_cfg("srgan")
-    t = GANTrainer(cfg, cls_kernels=(8, 4), donate=False)
+    t = GANTrainer(cfg, donate=False)
     state = t.init_state(jax.random.PRNGKey(0), image_size=HW,
                          freeze_pretrained=True)
     new_state, _ = t.step(state, make_batch(), jax.random.PRNGKey(1))
@@ -152,7 +151,7 @@ def test_per_domain_adam_isolation():
 
 def test_deterministic_given_rng():
     cfg = tiny_cfg("srgan", k=1)
-    t = GANTrainer(cfg, cls_kernels=(8, 4), donate=False)
+    t = GANTrainer(cfg, donate=False)
     batch = make_batch()
     s1 = t.init_state(jax.random.PRNGKey(0), image_size=HW)
     s2 = t.init_state(jax.random.PRNGKey(0), image_size=HW)
@@ -164,7 +163,7 @@ def test_deterministic_given_rng():
 
 def test_lr_schedule():
     cfg = tiny_cfg("srgan")
-    t = GANTrainer(cfg, cls_kernels=(8, 4), donate=False)
+    t = GANTrainer(cfg, donate=False)
     lr0 = t.lr_at(0)
     lr5 = t.lr_at(5)
     assert lr0 == (1e-4, 1e-4, 1e-4)  # quirk #3: all actual LRs are 1e-4
@@ -173,7 +172,7 @@ def test_lr_schedule():
 
 def test_transform_and_encode_roundtrip():
     cfg = tiny_cfg("srgan")
-    t = GANTrainer(cfg, cls_kernels=(8, 4), donate=False)
+    t = GANTrainer(cfg, donate=False)
     state = t.init_state(jax.random.PRNGKey(0), image_size=HW)
     batch = make_batch()
     fake, latent = t.transform(state, batch["image"], batch["target_label"],

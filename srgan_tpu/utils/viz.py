@@ -58,7 +58,8 @@ def training_progress_grid(trainer, state, dataset, index: int,
     idt_rand, _ = trainer.transform(
         state, rep, np.repeat(src_label, random_sample_num), rng=k4)
 
-    length, width = random_sample_num + 1, 4
+    # rows must fit both the sample sweeps and the per-class panels
+    length, width = max(random_sample_num, len(tgt_all)) + 1, 4
     fig = plt.figure(figsize=(4 * width, 4 * length))
 
     def show(pos, image, title):

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from srgan_tpu.nn.layers import (
+    CBBNorm,
     CBINorm,
     Conv2d,
     Dense,
@@ -36,15 +37,22 @@ class BasicBlock(nn.Module):
 
     nch_in: int
     nch_out: int
+    norm_type: str = "instance"
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, d):
-        h = CBINorm(self.nch_in, dtype=self.dtype, name="cnorm1")(x, d)
+    def __call__(self, x, d, train: bool = True):
+        def cnorm(name, h):
+            if self.norm_type == "batch":
+                return CBBNorm(self.nch_in, dtype=self.dtype, name=name)(
+                    h, d, use_running_average=not train)
+            return CBINorm(self.nch_in, dtype=self.dtype, name=name)(h, d)
+
+        h = cnorm("cnorm1", x)
         h = jax.nn.leaky_relu(h, 0.2)
         h = Conv2d(self.nch_in, 3, 1, 1, use_bias=False,
                    padding_mode="reflect", dtype=self.dtype, name="conv1")(h)
-        h = CBINorm(self.nch_in, dtype=self.dtype, name="cnorm2")(h, d)
+        h = cnorm("cnorm2", h)
         h = jax.nn.leaky_relu(h, 0.2)
         h = Conv2d(self.nch_out, 3, 1, 1, use_bias=False,
                    padding_mode="reflect", dtype=self.dtype, name="cmp_conv")(h)
@@ -56,19 +64,29 @@ class BasicBlock(nn.Module):
 
 
 class BasicBlockClassification(nn.Module):
-    """Unconditional variant: plain instance norm, no class input."""
+    """Unconditional variant: plain instance (or batch) norm, no class
+    input.  Batch mode mirrors the reference's ``norm_layer = BatchNorm2d``
+    selection (model.py:173-182 + :414)."""
 
     nch_in: int
     nch_out: int
+    norm_type: str = "instance"
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        h = instance_norm(x)
+    def __call__(self, x, train: bool = True):
+        def norm(name, h):
+            if self.norm_type == "batch":
+                return nn.BatchNorm(use_running_average=not train,
+                                     momentum=0.9, epsilon=1e-5,
+                                     dtype=self.dtype, name=name)(h)
+            return instance_norm(h)
+
+        h = norm("norm1", x)
         h = jax.nn.leaky_relu(h, 0.2)
         h = Conv2d(self.nch_in, 3, 1, 1, use_bias=False,
                    padding_mode="reflect", dtype=self.dtype, name="conv1")(h)
-        h = instance_norm(h)
+        h = norm("norm2", h)
         h = jax.nn.leaky_relu(h, 0.2)
         h = Conv2d(self.nch_out, 3, 1, 1, use_bias=False,
                    padding_mode="reflect", dtype=self.dtype, name="cmp_conv")(h)
@@ -95,17 +113,18 @@ class EncoderOriginal(nn.Module):
     nch_out: int = 8
     nch: int = 64
     num_cls: int = 4
+    norm_type: str = "instance"
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, c, sample: bool = True):
+    def __call__(self, x, c, sample: bool = True, train: bool = True):
         h = Conv2d(self.nch, 7, 2, 1, use_bias=True, dtype=self.dtype,
                    name="first_layer")(x)
         in_nch = self.nch
         for i in range(self.num_cls):
             out_nch = in_nch * 2
-            h = BasicBlock(in_nch, out_nch, dtype=self.dtype,
-                           name=f"layers_{i}")(h, c)
+            h = BasicBlock(in_nch, out_nch, norm_type=self.norm_type,
+                           dtype=self.dtype, name=f"layers_{i}")(h, c, train)
             in_nch = out_nch
         h = jax.nn.leaky_relu(h, 0.2)
         feat = adaptive_avg_pool(h).astype(jnp.float32)
@@ -129,17 +148,20 @@ class Encoder(nn.Module):
     # fcclass width = number of domain classes (model.py:457 with
     # num_con=ref_label.shape[1]=4, nb03/05 cell 20)
     num_con: int = 4
+    norm_type: str = "instance"
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, sample: bool = True):
+    def __call__(self, x, sample: bool = True, train: bool = True):
         h = Conv2d(self.nch, 7, 2, 1, use_bias=True, dtype=self.dtype,
                    name="first_layer")(x)
         in_nch = self.nch
         for i in range(self.num_cls):
             out_nch = in_nch * 2
-            h = BasicBlockClassification(in_nch, out_nch, dtype=self.dtype,
-                                         name=f"layers_{i}")(h)
+            h = BasicBlockClassification(in_nch, out_nch,
+                                         norm_type=self.norm_type,
+                                         dtype=self.dtype,
+                                         name=f"layers_{i}")(h, train)
             in_nch = out_nch
         h = jax.nn.leaky_relu(h, 0.2)
         feat = adaptive_avg_pool(h).astype(jnp.float32)
@@ -162,17 +184,20 @@ class EncoderClassifier(nn.Module):
     nch: int = 64
     num_cls: int = 4
     num_con: int = 4
+    norm_type: str = "instance"
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = True):
         h = Conv2d(self.nch, 7, 2, 1, use_bias=True, dtype=self.dtype,
                    name="first_layer")(x)
         in_nch = self.nch
         for i in range(self.num_cls):
             out_nch = in_nch * 2
-            h = BasicBlockClassification(in_nch, out_nch, dtype=self.dtype,
-                                         name=f"layers_{i}")(h)
+            h = BasicBlockClassification(in_nch, out_nch,
+                                         norm_type=self.norm_type,
+                                         dtype=self.dtype,
+                                         name=f"layers_{i}")(h, train)
             in_nch = out_nch
         h = jax.nn.leaky_relu(h, 0.2)
         feat = adaptive_avg_pool(h).astype(jnp.float32)

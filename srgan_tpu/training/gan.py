@@ -79,10 +79,7 @@ class GANTrainer:
                  cls_kernels: Optional[Tuple[int, int]] = None,
                  donate: bool = True):
         self.donate = donate
-        if cfg.model.norm_type != "instance":
-            raise NotImplementedError(
-                "trainer supports the shipped instance-norm configs; "
-                "batch-norm models are available at the module level")
+        self.use_bn = cfg.model.norm_type == "batch"
         self.cfg = cfg
         self.mesh = mesh
         m = cfg.model
@@ -111,25 +108,42 @@ class GANTrainer:
         if self.conditional_e:
             self.encoder = EncoderOriginal(
                 nch_in=m.nch_in, nch_out=m.ndim, nch=m.e_nch,
-                num_cls=m.e_num_cls, dtype=dtype)
+                num_cls=m.e_num_cls, norm_type=m.norm_type, dtype=dtype)
         else:
             self.encoder = Encoder(
                 nch_in=m.nch_in, nch_out=m.ndim, nch=m.e_nch,
-                num_cls=m.e_num_cls, num_con=m.n_classes, dtype=dtype)
+                num_cls=m.e_num_cls, num_con=m.n_classes,
+                norm_type=m.norm_type, dtype=dtype)
 
         self.tx = adam_chain(cfg.train.adam_b1, cfg.train.adam_b2)
         self.ref_label = np.eye(m.n_classes, dtype=np.float32)
         self._jit_step = self._build_step()
         # jitted inference paths (shape-polymorphic via retrace-and-cache)
         self._jit_G_apply = jax.jit(
-            lambda p, x, c: self.generator.apply({"params": p}, x, c))
-        self._jit_E_apply = jax.jit(self._E_trunk)
+            lambda p, stats, x, c: self.generator.apply(
+                {"params": p, **({"batch_stats": stats}
+                                 if stats is not None else {})},
+                x, c, train=False))
+        self._jit_E_apply = jax.jit(
+            lambda p, stats, x, onehot: self._E_trunk(p, x, onehot,
+                                                      stats=stats,
+                                                      train=False)[:3])
 
     # ------------------------------------------------------------------
     # model call helpers
     # ------------------------------------------------------------------
     def _G(self, params, x, cond):
         return self.generator.apply({"params": params}, x, cond)
+
+    def _G_t(self, params, stats, x, cond):
+        """Training-mode generator apply; threads batch-norm running stats
+        (stats is None in instance mode -> plain apply)."""
+        if stats is None:
+            return self._G(params, x, cond), None
+        out, upd = self.generator.apply(
+            {"params": params, "batch_stats": stats}, x, cond, train=True,
+            mutable=["batch_stats"])
+        return out, upd["batch_stats"]
 
     def _D(self, params, x):
         if self.per_domain:
@@ -138,22 +152,34 @@ class GANTrainer:
                 lambda p: self.discriminator.apply({"params": p}, x))(params)
         return self.discriminator.apply({"params": params}, x)
 
-    def _E_trunk(self, params, x, onehot):
-        """One encoder forward returning (mu, logvar, class_out or None).
+    def _E_trunk(self, params, x, onehot, stats=None, train=True):
+        """One encoder forward returning (mu, logvar, class_out or None,
+        new_stats or None).
 
         The reference calls E up to 3x per phase with identical inputs; the
-        trunk is deterministic so we compute it once and reuse (eps draws stay
-        independent, matching the reference's per-call resampling).
+        trunk is deterministic (instance mode) so we compute it once and
+        reuse (eps draws stay independent, matching the reference's per-call
+        resampling).  In batch mode running stats are threaded through.
         """
+        variables = {"params": params}
+        kwargs = dict(sample=False, rngs={"reparam": jax.random.PRNGKey(0)})
+        mutable = False
+        if stats is not None:
+            variables["batch_stats"] = stats
+            kwargs["train"] = train
+            if train:
+                mutable = ["batch_stats"]
+        args = (x, onehot) if self.conditional_e else (x,)
+        out = self.encoder.apply(variables, *args, mutable=mutable, **kwargs)
+        new_stats = None
+        if mutable:
+            out, upd = out
+            new_stats = upd["batch_stats"]
         if self.conditional_e:
-            _, mu, logvar = self.encoder.apply(
-                {"params": params}, x, onehot, sample=False,
-                rngs={"reparam": jax.random.PRNGKey(0)})
-            return mu, logvar, None
-        _, mu, logvar, cls_out, _ = self.encoder.apply(
-            {"params": params}, x, sample=False,
-            rngs={"reparam": jax.random.PRNGKey(0)})
-        return mu, logvar, cls_out
+            _, mu, logvar = out
+            return mu, logvar, None, new_stats
+        _, mu, logvar, cls_out, _ = out
+        return mu, logvar, cls_out, new_stats
 
     @staticmethod
     def _sample_latent(mu, logvar, key):
@@ -163,13 +189,16 @@ class GANTrainer:
     def _onehot(self, labels):
         return jnp.asarray(self.ref_label)[labels]
 
-    def _G_pair(self, params, x1, c1, x2, c2):
+    def _G_pair(self, params, stats, x1, c1, x2, c2):
         """Two generator applications fused into one 2B-batch forward —
-        per-sample ops (convs, instance norm, CBINorm) make this exact."""
+        per-sample ops (convs, instance norm, CBINorm) make this exact.
+        Batch mode: one running-stats update from the 2B batch (the reference
+        would update twice with B each — documented bn-mode divergence)."""
         b = x1.shape[0]
-        out = self._G(params, jnp.concatenate([x1, x2], 0),
-                      jnp.concatenate([c1, c2], 0))
-        return out[:b], out[b:]
+        out, new_stats = self._G_t(params, stats,
+                                   jnp.concatenate([x1, x2], 0),
+                                   jnp.concatenate([c1, c2], 0))
+        return out[:b], out[b:], new_stats
 
     # ------------------------------------------------------------------
     # the train step
@@ -214,28 +243,30 @@ class GANTrainer:
             mean_err = total / n_classes
             return total, mean_err
 
-        def ge_loss_fn(g_params, e_params, d_params, images, onehot_src,
-                       onehot_tgt, src_labels, tgt_labels, c_rand,
-                       hist_target, keys):
+        def ge_loss_fn(g_params, e_params, d_params, g_stats, e_stats,
+                       images, onehot_src, onehot_tgt, src_labels,
+                       tgt_labels, c_rand, hist_target, keys):
             # --- fakes: rematerialize the retained graph from the last D step
-            fake = self._G(g_params, images, jnp.concatenate(
-                [onehot_tgt, c_rand], 1))
+            fake, g_stats = self._G_t(g_params, g_stats, images,
+                                      jnp.concatenate([onehot_tgt, c_rand], 1))
 
             # --- encoder on source (one trunk forward, per-call eps draws)
-            mu, logvar, _ = self._E_trunk(e_params, images, onehot_src)
+            mu, logvar, _, e_stats = self._E_trunk(e_params, images,
+                                                   onehot_src, stats=e_stats)
             style_recon = (self._sample_latent(mu, logvar, keys[0])
                            if use_latent else mu)
             if lw.idt > 0:
                 style_idt = (self._sample_latent(mu, logvar, keys[1])
                              if use_latent else mu)
-                recon, idt_img = self._G_pair(
-                    g_params,
+                recon, idt_img, g_stats = self._G_pair(
+                    g_params, g_stats,
                     fake, jnp.concatenate([onehot_src, style_recon], 1),
                     images, jnp.concatenate([onehot_src, style_idt], 1))
             else:
                 idt_img = None
-                recon = self._G(g_params, fake, jnp.concatenate(
-                    [onehot_src, style_recon], 1))
+                recon, g_stats = self._G_t(g_params, g_stats, fake,
+                                           jnp.concatenate(
+                                               [onehot_src, style_recon], 1))
 
             metrics = {}
             # --- adversarial (+ class) for G on the fakes
@@ -272,10 +303,10 @@ class GANTrainer:
             total = errG + errE
             metrics["errG_phase1"] = errG
             metrics["errE"] = errE_out
-            return total, metrics
+            return total, (metrics, g_stats, e_stats)
 
-        def g2_loss_fn(g_params, e_params, images, onehot_src, onehot_tgt,
-                       c_rand, keys):
+        def g2_loss_fn(g_params, e_params, g_stats, e_stats, images,
+                       onehot_src, onehot_tgt, c_rand, keys):
             # style regression: |c_rand - E(G(source, c_rand)).mu|
             B = images.shape[0]
             cond_fake = jnp.concatenate([onehot_tgt, c_rand], 1)
@@ -287,25 +318,29 @@ class GANTrainer:
                     cond_idt = jnp.concatenate([onehot_src, reg_target], 1)
                 else:
                     # SRGAN flavor (:680-687): encoder-driven identity image
-                    mu_s, logvar_s, _ = self._E_trunk(e_params, images, None)
+                    mu_s, logvar_s, _, e_stats = self._E_trunk(
+                        e_params, images, None, stats=e_stats)
                     style = (self._sample_latent(mu_s, logvar_s, keys[1])
                              if use_latent else mu_s)
                     reg_target = mu_s
                     cond_idt = jnp.concatenate([onehot_src, style], 1)
-                fake, idt_img = self._G_pair(g_params, images, cond_fake,
-                                             images, cond_idt)
+                fake, idt_img, g_stats = self._G_pair(
+                    g_params, g_stats, images, cond_fake, images, cond_idt)
                 onehot_both = jnp.concatenate([onehot_tgt, onehot_src], 0)
-                mu_both, _, _ = self._E_trunk(
+                mu_both, _, _, e_stats = self._E_trunk(
                     e_params, jnp.concatenate([fake, idt_img], 0),
-                    onehot_both if self.conditional_e else None)
+                    onehot_both if self.conditional_e else None,
+                    stats=e_stats)
                 errG_ex = lw.reg * L.l1_loss(c_rand, mu_both[:B])
                 errG_ex = errG_ex + (L.l1_loss(reg_target, mu_both[B:])
                                      * lw.idt_reg * (lw.idt / lw.cycle))
             else:
-                fake = self._G(g_params, images, cond_fake)
-                mu_t, _, _ = self._E_trunk(e_params, fake, onehot_tgt)
+                fake, g_stats = self._G_t(g_params, g_stats, images,
+                                          cond_fake)
+                mu_t, _, _, e_stats = self._E_trunk(e_params, fake,
+                                                    onehot_tgt, stats=e_stats)
                 errG_ex = lw.reg * L.l1_loss(c_rand, mu_t)
-            return errG_ex
+            return errG_ex, (g_stats, e_stats)
 
         def train_step(state: GANTrainState, images, src_labels, tgt_labels,
                        rng, lr_g, lr_d, lr_e):
@@ -319,13 +354,15 @@ class GANTrainer:
             # XLA is free to schedule the k G-forwards independently.
             keys = jax.random.split(rng, k + 4)
             d_params, d_opt = state.d_params, state.d_opt
+            g_stats, e_stats = state.g_stats, state.e_stats
             snap = None
             errD0 = None
-            fake = latent = None
+            latent = None
             for i in range(k):
                 latent = jax.random.normal(keys[i], (B, ndim), jnp.float32)
-                fake = self._G(state.g_params, images, jnp.concatenate(
-                    [onehot_tgt, latent], 1))
+                fake, g_stats = self._G_t(state.g_params, g_stats, images,
+                                          jnp.concatenate(
+                                              [onehot_tgt, latent], 1))
                 grads, errD_mean = jax.grad(d_loss_fn, has_aux=True)(
                     d_params, images, fake, onehot_src, src_labels, tgt_labels)
                 d_params, d_opt = adam_apply(self.tx, grads, d_opt, d_params,
@@ -336,11 +373,11 @@ class GANTrainer:
 
             # ---------------- phase 1: joint G/E ----------------
             ge_keys = keys[k:k + 2]
-            (_, metrics), (g_grads, e_grads) = jax.value_and_grad(
-                ge_loss_fn, argnums=(0, 1), has_aux=True)(
-                    state.g_params, state.e_params, d_params, images,
-                    onehot_src, onehot_tgt, src_labels, tgt_labels, latent,
-                    state.hist_target, ge_keys)
+            (_, (metrics, g_stats, e_stats)), (g_grads, e_grads) = \
+                jax.value_and_grad(ge_loss_fn, argnums=(0, 1), has_aux=True)(
+                    state.g_params, state.e_params, d_params, g_stats,
+                    e_stats, images, onehot_src, onehot_tgt, src_labels,
+                    tgt_labels, latent, state.hist_target, ge_keys)
             if state.e_mask is not None:
                 e_grads = mask_grads(e_grads, state.e_mask)
             g_params, g_opt = adam_apply(self.tx, g_grads, state.g_opt,
@@ -350,9 +387,10 @@ class GANTrainer:
 
             # ---------------- phase 2: exclusive G ----------------
             g2_keys = keys[k + 2:k + 4]
-            errG_ex, g2_grads = jax.value_and_grad(g2_loss_fn)(
-                g_params, e_params, images, onehot_src, onehot_tgt, latent,
-                g2_keys)
+            (errG_ex, (g_stats, e_stats)), g2_grads = jax.value_and_grad(
+                g2_loss_fn, has_aux=True)(
+                    g_params, e_params, g_stats, e_stats, images, onehot_src,
+                    onehot_tgt, latent, g2_keys)
             g_params, g_opt = adam_apply(self.tx, g2_grads, g_opt, g_params,
                                          lr_g)
 
@@ -367,6 +405,7 @@ class GANTrainer:
                 d_params=snap,          # restore: params only, not Adam state
                 d_opt=d_opt,
                 e_params=e_params, e_opt=e_opt,
+                g_stats=g_stats, e_stats=e_stats,
             )
             return new_state, metrics
 
@@ -395,8 +434,9 @@ class GANTrainer:
         dummy_cond = jnp.zeros((2, m.num_con), jnp.float32)
         # jit the inits: unjitted op-by-op dispatch is pathologically slow on
         # the tunneled TPU platform (minutes for the full-width models)
-        g_params = jax.jit(self.generator.init)(kg, dummy_img,
-                                                dummy_cond)["params"]
+        g_vars = jax.jit(self.generator.init)(kg, dummy_img, dummy_cond)
+        g_params = g_vars["params"]
+        g_stats = g_vars.get("batch_stats") if self.use_bn else None
         if self.per_domain:
             d_init = jax.jit(self.discriminator.init)
             d_list = [d_init(jax.random.fold_in(kd, i), dummy_img)["params"]
@@ -408,10 +448,11 @@ class GANTrainer:
         e_rngs = {"params": ke, "reparam": jax.random.fold_in(ke, 1)}
         if self.conditional_e:
             onehot = jnp.zeros((2, m.n_classes), jnp.float32)
-            e_params = jax.jit(self.encoder.init)(e_rngs, dummy_img,
-                                                  onehot)["params"]
+            e_vars = jax.jit(self.encoder.init)(e_rngs, dummy_img, onehot)
         else:
-            e_params = jax.jit(self.encoder.init)(e_rngs, dummy_img)["params"]
+            e_vars = jax.jit(self.encoder.init)(e_rngs, dummy_img)
+        e_params = e_vars["params"]
+        e_stats = e_vars.get("batch_stats") if self.use_bn else None
         if e_params_override is not None:
             e_params = {**e_params, **e_params_override}
 
@@ -423,7 +464,8 @@ class GANTrainer:
             g_params=g_params, d_params=d_params, e_params=e_params,
             g_opt=self.tx.init(g_params), d_opt=self.tx.init(d_params),
             e_opt=self.tx.init(e_params),
-            hist_target=hist_target, e_mask=e_mask)
+            hist_target=hist_target, e_mask=e_mask,
+            g_stats=g_stats, e_stats=e_stats)
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
             state = jax.device_put(state, repl)
@@ -453,9 +495,11 @@ class GANTrainer:
             latent = jax.random.normal(rng, (images.shape[0],
                                              self.cfg.model.ndim), jnp.float32)
         cond = jnp.concatenate([onehot, latent], 1)
-        return self._jit_G_apply(state.g_params, images, cond), latent
+        return self._jit_G_apply(state.g_params, state.g_stats, images,
+                                 cond), latent
 
     def encode(self, state: GANTrainState, images, labels=None):
         """Encoder forward returning (mu, logvar, class_out_or_None)."""
         onehot = self._onehot(labels) if labels is not None else None
-        return self._jit_E_apply(state.e_params, images, onehot)
+        return self._jit_E_apply(state.e_params, state.e_stats, images,
+                                 onehot)

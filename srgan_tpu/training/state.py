@@ -65,3 +65,6 @@ class GANTrainState(struct.PyTreeNode):
     e_opt: Any
     hist_target: Optional[jnp.ndarray] = None
     e_mask: Any = None      # None = all trainable
+    # running batch-norm stats for norm_type="batch" (None in instance mode)
+    g_stats: Any = None
+    e_stats: Any = None

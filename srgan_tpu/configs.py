@@ -95,6 +95,16 @@ class TrainConfig:
     adam_b2: float = 0.999
     lr_gamma: float = 0.95       # ExponentialLR per-epoch decay
     unrolled_k: int = 5          # UnrolledGAN k
+    # UnrolledGAN restore semantics.  The reference INTENDS to snapshot D
+    # after the first of the k updates and restore it afterwards
+    # (util_notebook.py:393-410 / :720-727), but its snapshot is
+    # ``D.state_dict()`` whose tensors alias the live parameters — torch
+    # optimizers update them in place, so ``load_state_dict(paramD)`` copies
+    # the current values onto themselves and D silently keeps all k updates
+    # (verified empirically, tests/test_trainer_parity.py).  False (default)
+    # replicates the reference's ACTUAL behavior; True implements the
+    # documented intent (restore params to the post-first-update snapshot).
+    unrolled_restore: bool = False
     encoded_feature: str = "mu"  # "latent" | "mu" — what E feeds G / reg target
     train_num: int = 10000       # images per class
     val_num: int = 0

@@ -10,10 +10,15 @@ util_notebook.py):
 
 Replicated semantics:
   1. UnrolledGAN (util_notebook.py:369-411/:696-728): D updated k times, each
-     with *fresh* random latents; D params snapshot after the FIRST update
-     (quirk #8); G/E update once against the k-step D; D params restored to
-     the snapshot.  Adam moments of D are NOT restored (torch state_dict
-     restores params only).
+     with *fresh* random latents; G/E update once against the k-step D.  The
+     reference INTENDS to restore D to a post-first-update snapshot, but its
+     ``state_dict()`` snapshot aliases the live tensors that torch Adam
+     updates in place, so the restore is a silent no-op and D keeps all k
+     updates (verified against the actual torch trainer in
+     tests/test_trainer_parity.py).  Default replicates that; set
+     ``TrainConfig.unrolled_restore=True`` for the documented intent
+     (restore params, keep Adam moments — torch state_dict carries no
+     optimizer state either way).
   2. Two-phase G/E update (:253-367/:596-694).  Phase 1:
      ``errG.backward(retain); errE.backward(retain); optG.step(); optE.step()``
      is mathematically a single grad of (errG + errE) wrt (G, E) since errE
@@ -181,9 +186,14 @@ class GANTrainer:
         _, mu, logvar, cls_out, _ = out
         return mu, logvar, cls_out, new_stats
 
-    @staticmethod
-    def _sample_latent(mu, logvar, key):
-        eps = jax.random.normal(key, mu.shape, jnp.float32)
+    def _draw_latent(self, key, shape):
+        """Every standard-normal draw inside the train step goes through this
+        seam, so parity tests can inject the torch trainer's exact draws by
+        overriding it (they run at trace time, baking the values in)."""
+        return jax.random.normal(key, shape, jnp.float32)
+
+    def _sample_latent(self, mu, logvar, key):
+        eps = self._draw_latent(key, mu.shape)
         return eps * jnp.exp(0.5 * logvar) + mu
 
     def _onehot(self, labels):
@@ -211,6 +221,7 @@ class GANTrainer:
         n_classes = cfg.model.n_classes
         n_batch_cfg = cfg.train.batch_size
         use_latent = cfg.train.encoded_feature == "latent"
+        unrolled_restore = cfg.train.unrolled_restore
         solo = not self.per_domain
 
         def d_loss_fn(d_params, images, fake, onehot_src, src_labels,
@@ -313,8 +324,7 @@ class GANTrainer:
             if lw.idt_reg * lw.idt > 0:
                 if self.conditional_e:
                     # SingleGAN flavor (:352-360): random source-style image
-                    reg_target = jax.random.normal(keys[0], (B, ndim),
-                                                   jnp.float32)
+                    reg_target = self._draw_latent(keys[0], (B, ndim))
                     cond_idt = jnp.concatenate([onehot_src, reg_target], 1)
                 else:
                     # SRGAN flavor (:680-687): encoder-driven identity image
@@ -359,7 +369,7 @@ class GANTrainer:
             errD0 = None
             latent = None
             for i in range(k):
-                latent = jax.random.normal(keys[i], (B, ndim), jnp.float32)
+                latent = self._draw_latent(keys[i], (B, ndim))
                 fake, g_stats = self._G_t(state.g_params, g_stats, images,
                                           jnp.concatenate(
                                               [onehot_tgt, latent], 1))
@@ -368,7 +378,10 @@ class GANTrainer:
                 d_params, d_opt = adam_apply(self.tx, grads, d_opt, d_params,
                                              lr_d)
                 if i == 0:
-                    snap = d_params      # snapshot AFTER first update (quirk #8)
+                    # snapshot AFTER the first update (quirk #8); only
+                    # meaningful under unrolled_restore=True — the
+                    # reference's own restore is a no-op (see module docstring)
+                    snap = d_params
                     errD0 = errD_mean
 
             # ---------------- phase 1: joint G/E ----------------
@@ -402,7 +415,10 @@ class GANTrainer:
             new_state = state.replace(
                 step=state.step + 1,
                 g_params=g_params, g_opt=g_opt,
-                d_params=snap,          # restore: params only, not Adam state
+                # reference behavior: keep all k updates (its restore is a
+                # no-op); optional true restore rolls params (not Adam
+                # moments) back to the post-first-update snapshot
+                d_params=snap if unrolled_restore else d_params,
                 d_opt=d_opt,
                 e_params=e_params, e_opt=e_opt,
                 g_stats=g_stats, e_stats=e_stats,

@@ -71,11 +71,19 @@ def test_train_step_runs_and_updates(trainer):
 
 
 def test_unrolled_restore_semantics():
-    """After the step, D params must equal the snapshot taken after the FIRST
-    D update (quirk #8) — not the k-th — while D's Adam state keeps all k
-    updates."""
-    cfg_k1 = tiny_cfg("srgan", k=1)
-    cfg_k3 = tiny_cfg("srgan", k=3)
+    """unrolled_restore=True: after the step, D params must equal the
+    snapshot taken after the FIRST D update (the reference's documented
+    intent) — not the k-th — while D's Adam state keeps all k updates.
+    Default (False, the reference's ACTUAL no-op restore): D keeps all k
+    updates, so k=1 and k=3 end at different D params."""
+    import dataclasses
+
+    def with_restore(cfg):
+        return dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, unrolled_restore=True))
+
+    cfg_k1 = with_restore(tiny_cfg("srgan", k=1))
+    cfg_k3 = with_restore(tiny_cfg("srgan", k=3))
     t1 = GANTrainer(cfg_k1, donate=False)
     t3 = GANTrainer(cfg_k3, donate=False)
     s1 = t1.init_state(jax.random.PRNGKey(0), image_size=HW)
@@ -89,6 +97,12 @@ def test_unrolled_restore_semantics():
     assert leaves_close(n1.d_params, n3.d_params)
     # but Adam moments differ (k=3 kept stepping)
     assert not leaves_close(n1.d_opt, n3.d_opt)
+
+    # default = reference behavior: no restore, k=3 keeps all 3 updates
+    t3_ref = GANTrainer(tiny_cfg("srgan", k=3), donate=False)
+    s3_ref = t3_ref.init_state(jax.random.PRNGKey(0), image_size=HW)
+    n3_ref, _ = t3_ref.step(s3_ref, batch, jax.random.PRNGKey(1))
+    assert not leaves_close(n3_ref.d_params, n1.d_params)
 
 
 def test_conventional_kl_gating():

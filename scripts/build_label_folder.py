@@ -9,7 +9,11 @@ directly via --attr-file, so this exists for layout compatibility.)
 import argparse
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+try:  # installed via `pip install -e .`
+    import srgan_tpu  # noqa: F401
+except ImportError:  # running from a bare checkout
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from srgan_tpu.data import build_label_folder
 

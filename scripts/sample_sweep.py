@@ -11,7 +11,11 @@ import argparse
 import os
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+try:  # installed via `pip install -e .`
+    import srgan_tpu  # noqa: F401
+except ImportError:  # running from a bare checkout
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import numpy as np

@@ -19,7 +19,11 @@ import argparse
 import dataclasses
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+try:  # installed via `pip install -e .`
+    import srgan_tpu  # noqa: F401
+except ImportError:  # running from a bare checkout
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from srgan_tpu.configs import PRESETS
 from srgan_tpu.parallel import make_mesh

@@ -25,14 +25,43 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _pairwise_dist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """Euclidean distance matrix via the Gram identity (fp32)."""
+def _pairwise_dist_gram(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Euclidean distance matrix via the Gram identity (fp32) — one MXU
+    matmul, but catastrophic cancellation turns true zeros (duplicate
+    points) into ~1e-3 distances."""
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
     x2 = jnp.sum(x * x, axis=1)
     y2 = jnp.sum(y * y, axis=1)
     sq = x2[:, None] + y2[None, :] - 2.0 * (x @ y.T)
     return jnp.sqrt(jnp.maximum(sq, 0.0))
+
+
+_ROW_BLOCK = 16
+
+
+def _pairwise_dist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Exact (diff-based) Euclidean distance matrix in fp32.
+
+    sum((x - y)^2) has no cancellation — duplicate points yield EXACTLY 0,
+    which the strict ``<`` comparisons of the prdc algorithm rely on when
+    kth-NN radii collapse to 0.  Processed in row blocks to bound the
+    (block, N, d) intermediate; FLOP count matches the Gram matmul (O(N^2 d))
+    and eval-set sizes here are ~1e2-1e3, so this stays cheap.
+    """
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    n = x.shape[0]
+    pad = (-n) % _ROW_BLOCK
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    blocks = xp.reshape(-1, _ROW_BLOCK, x.shape[1])
+
+    def block_dist(xb):
+        diff = xb[:, None, :] - y[None, :, :]
+        return jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+
+    d = jax.lax.map(block_dist, blocks).reshape(-1, y.shape[0])
+    return d[:n]
 
 
 def _kth_nn_radii(feats: jnp.ndarray, nearest_k: int) -> jnp.ndarray:

@@ -103,19 +103,32 @@ def test_transform_shape_and_range(celeba):
     assert label in range(4)
 
 
-def test_transform_matches_torchvision(celeba):
-    """Crop+resize parity with torchvision's CenterCrop(178)+Resize(128)."""
-    torchvision = pytest.importorskip("torchvision")
-    from torchvision import transforms as T
+def test_transform_matches_torch_interpolate_oracle(celeba):
+    """Crop+resize parity with an independent oracle: torchvision's
+    CenterCrop box formula (top/left = round((size - crop)/2), its
+    functional.py) + torch F.interpolate(bilinear, antialias=True), which
+    reproduces PIL's triangle-filter BILINEAR to ~1e-2.  (torchvision itself
+    is not installed in this env; torch is.)"""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
     img_root, attr_file = celeba
     ds = FaceDataset(img_root, attr_file=attr_file, data_type="test",
                      train_num=6, val_num=2, test_num=2, flip=False)
     raw = ds.load_raw(0)
     ours = ds.transform(raw, flip=False)
 
-    ref_t = T.Compose([T.CenterCrop(178), T.Resize(128), T.ToTensor()])
-    ref = ref_t(raw).numpy().transpose(1, 2, 0)   # HWC [0,1]
-    ref = (ref - ref.min()) / (ref.max() - ref.min() + 1e-8) * 2 - 1
+    arr = np.asarray(raw, np.float32) / 255.0      # (H, W, 3) in [0, 1]
+    h, w = arr.shape[:2]
+    c = 178
+    top = int(round((h - c) / 2.0))
+    left = int(round((w - c) / 2.0))
+    cropped = arr[top:top + c, left:left + c]
+    t = torch.from_numpy(cropped.transpose(2, 0, 1))[None]
+    resized = F.interpolate(t, size=(128, 128), mode="bilinear",
+                            antialias=True)[0].numpy().transpose(1, 2, 0)
+    ref = (resized - resized.min()) / (resized.max() - resized.min() + 1e-8) \
+        * 2 - 1
     np.testing.assert_allclose(ours, ref, atol=2e-2)
 
 

@@ -19,6 +19,41 @@ def test_prdc_matches_numpy_oracle(rng):
         assert got[k] == pytest.approx(ref[k], abs=2e-3), k
 
 
+def test_prdc_matches_vendored_prdc_package():
+    """Pin against the vendored prdc==0.2 algorithm (the exact package the
+    reference calls, evaluation.py:98-110) — a third-party oracle, including
+    asymmetric set sizes."""
+    from vendor_prdc import compute_prdc as prdc_pkg
+
+    local = np.random.default_rng(11)  # own rng: keep the shared fixture's
+    real = local.standard_normal((128, 24)).astype(np.float32)  # stream intact
+    fake = (local.standard_normal((77, 24)) * 0.8 + 0.5).astype(np.float32)
+    got = compute_prdc(real, fake, nearest_k=5)
+    ref = prdc_pkg(real, fake, nearest_k=5)
+    for k in ref:
+        assert got[k] == pytest.approx(float(ref[k]), abs=2e-3), k
+
+
+def test_prdc_matches_vendored_package_with_duplicates():
+    """Duplicate points give zero kth-NN radii for small k — the strict '<'
+    comparisons must agree with the package bit-for-bit (this requires the
+    exact diff-based distances; the Gram identity would turn the zero radii
+    into ~1e-3)."""
+    from vendor_prdc import compute_prdc as prdc_pkg
+
+    local = np.random.default_rng(12)
+    base = local.standard_normal((20, 8)).astype(np.float32)
+    real = np.concatenate([base, base, base], axis=0)        # every point x3
+    fake = np.concatenate([base[:10], base[:10],
+                           local.standard_normal((25, 8)).astype(np.float32)])
+    for k in (1, 3, 5):
+        got = compute_prdc(real, fake, nearest_k=k)
+        ref = prdc_pkg(real, fake, nearest_k=k)
+        for key in ref:
+            assert got[key] == pytest.approx(float(ref[key]), abs=1e-4), (
+                key, k)
+
+
 def test_prdc_identical_distributions(rng):
     """Same distribution -> all metrics near 1 (precision/recall/coverage)."""
     x = rng.standard_normal((200, 8)).astype(np.float32)

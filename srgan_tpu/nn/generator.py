@@ -39,19 +39,22 @@ class SingleResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, c, train: bool = True):
-        def cnorm(name):
+        def cnorm(name, h, relu=False):
             if self.norm_type == "batch":
-                return lambda h: CBBNorm(self.nch, dtype=self.dtype, name=name)(
+                out = CBBNorm(self.nch, dtype=self.dtype, name=name)(
                     h, c, use_running_average=not train)
-            return lambda h: CBINorm(self.nch, dtype=self.dtype, name=name)(h, c)
+                return nn.relu(out) if relu else out
+            # relu fused into the Pallas norm kernel on TPU
+            return CBINorm(self.nch, dtype=self.dtype, name=name)(h, c,
+                                                                  relu=relu)
 
         res = x
         h = Conv2d(self.nch, 3, 1, 1, use_bias=False, dtype=self.dtype,
                    name="c1")(x)
-        h = nn.relu(cnorm("cn1")(h))
+        h = cnorm("cn1", h, relu=True)
         h = Conv2d(self.nch, 3, 1, 1, use_bias=False, dtype=self.dtype,
                    name="c2")(h)
-        h = cnorm("cn2")(h)
+        h = cnorm("cn2", h)
         return h + res
 
 
@@ -75,28 +78,31 @@ class SingleGenerator(nn.Module):
         k = 2 * self.reduce
         p = self.reduce // 2
 
-        def cnorm(feats, name, h):
+        def cnorm(feats, name, h, relu=False):
             if self.norm_type == "batch":
-                return CBBNorm(feats, dtype=self.dtype, name=name)(
+                out = CBBNorm(feats, dtype=self.dtype, name=name)(
                     h, c, use_running_average=not train)
-            return CBINorm(feats, dtype=self.dtype, name=name)(h, c)
+                return nn.relu(out) if relu else out
+            return CBINorm(feats, dtype=self.dtype, name=name)(h, c,
+                                                               relu=relu)
 
-        def unorm(feats, name, h):
+        def unorm(feats, name, h, relu=False):
             if self.norm_type == "batch":
-                return nn.BatchNorm(use_running_average=not train,
-                                    momentum=0.9, epsilon=1e-5,
-                                    dtype=self.dtype, name=name)(h)
-            return instance_norm(h)
+                out = nn.BatchNorm(use_running_average=not train,
+                                   momentum=0.9, epsilon=1e-5,
+                                   dtype=self.dtype, name=name)(h)
+                return nn.relu(out) if relu else out
+            return instance_norm(h, relu=relu)
 
         # --- down path (model.py:212-218, forward :237-240)
         h = Conv2d(self.nch, 7, 1, 3, use_bias=False, dtype=self.dtype,
                    name="down_conv_0")(x)
-        h = nn.relu(cnorm(self.nch, "down_cnorm_0", h))
+        h = cnorm(self.nch, "down_cnorm_0", h, relu=True)
         for i in range(self.num_cls):
             feats = self.nch * 2 ** (i + 1)
             h = Conv2d(feats, k, self.reduce, p, use_bias=False,
                        dtype=self.dtype, name=f"down_conv_{i + 1}")(h)
-            h = nn.relu(cnorm(feats, f"down_cnorm_{i + 1}", h))
+            h = cnorm(feats, f"down_cnorm_{i + 1}", h, relu=True)
 
         # --- residual trunk (model.py:221-224)
         for i in range(self.res_num):
@@ -109,7 +115,7 @@ class SingleGenerator(nn.Module):
             feats = self.nch * 2 ** (i - 1)
             h = ConvTranspose2d(feats, k, self.reduce, p, use_bias=False,
                                 dtype=self.dtype, name=f"up_conv_{j}")(h)
-            h = nn.relu(unorm(feats, f"up_norm_{j}", h))
+            h = unorm(feats, f"up_norm_{j}", h, relu=True)
         h = Conv2d(nch_out, 7, 1, 3, use_bias=False, dtype=self.dtype,
                    name="up_conv_out")(h)
         return jnp.tanh(h.astype(jnp.float32))

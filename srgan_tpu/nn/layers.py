@@ -72,14 +72,49 @@ def make_torch_bias_init(fan_in: int):
 # Functional ops
 # ---------------------------------------------------------------------------
 
-def instance_norm(x: Array, eps: float = 1e-5) -> Array:
+def _use_fused_norm(x: Array) -> bool:
+    """Fused Pallas instance-norm gate (opt-in via SRGAN_TPU_FUSED_NORM=1).
+
+    Measured on v5e at the full bench config the fused kernel LOSES to XLA
+    (233 vs 299 img/s): XLA already multi-emits the mean reduction from the
+    producing conv's epilogue and fuses the apply, so the pallas_call's
+    fusion barrier costs more than the saved passes (docs/PERF.md).  Kept
+    available for other geometries.
+    """
+    import os
+    if os.environ.get("SRGAN_TPU_FUSED_NORM") != "1":
+        return False
+    if jax.default_backend() != "tpu" or x.ndim != 4:
+        return False
+    hw = x.shape[1] * x.shape[2]
+    slab = hw * x.shape[-1] * x.dtype.itemsize
+    return hw % 16 == 0 and x.shape[-1] % 8 == 0 and slab <= 8 * 1024 * 1024
+
+
+def instance_norm(x: Array, eps: float = 1e-5, relu: bool = False) -> Array:
     """Per-(sample, channel) normalization over H, W.  No affine, no running
     stats — matches ``nn.InstanceNorm2d(affine=False)`` / ``F.instance_norm``
-    as used by the reference (model.py:58-60, :178).  Stats in fp32."""
+    as used by the reference (model.py:58-60, :178).  Stats in fp32.
+
+    ``relu=True`` fuses the caller's following ReLU.  On TPU this runs as a
+    single-pass Pallas kernel (ops/pallas/norm.py); the jnp path below is
+    the reference semantics and the CPU/test path.
+    """
+    if _use_fused_norm(x):
+        from srgan_tpu.ops.pallas.norm import fused_instance_norm
+        return fused_instance_norm(x, eps, relu)
     x32 = x.astype(jnp.float32)
+    # one-pass moments: E[x] and E[x^2] are both plain reductions of the
+    # producing conv's output, so XLA multi-emits them from the conv's
+    # epilogue fusion — the two-pass jnp.var form forces a full re-read of
+    # the activation for the (x - mean)^2 pass (~30% of round-1 step time
+    # was these convert+reduce sweeps, docs/PERF.md)
     mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-    var = jnp.var(x32, axis=(1, 2), keepdims=True)
+    m2 = jnp.mean(x32 * x32, axis=(1, 2), keepdims=True)
+    var = jnp.maximum(m2 - mean * mean, 0.0)
     out = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    if relu:
+        out = jnp.maximum(out, 0.0)
     return out.astype(x.dtype)
 
 
@@ -122,6 +157,15 @@ class Conv2d(nn.Module):
 
     padding_mode "zeros" or "reflect" (encoder BasicBlocks use reflect,
     model.py:358).  Kernel stored HWIO in fp32; computed in ``dtype``.
+
+    TPU note: stride-1 same-pad convs with very few output channels (the
+    generator's final 7x7 -> 3 conv) waste 125/128 MXU lanes; they are
+    rewritten exactly as an output space-to-depth conv (stride s, kernel
+    (k+s-1)^2, features*s^2 channels = the s x s pixel block), ~1.5x faster
+    measured on v5e and with a far cheaper autodiff backward (the grads flow
+    through 48-channel convs instead of 3-channel ones).  The rewrite is a
+    pure reassociation of the same multiply-adds — enabled on every backend
+    so the torch-fidelity tests cover it.
     """
 
     features: int
@@ -131,6 +175,19 @@ class Conv2d(nn.Module):
     use_bias: bool = True
     padding_mode: str = "zeros"
     dtype: Dtype = jnp.float32
+    # output space-to-depth block for narrow-output convs; None disables
+    s2d_out_block: int = 4
+
+    def _s2d_out_applicable(self, x, kh, kw, sh, sw, ph, pw) -> bool:
+        s = self.s2d_out_block
+        return (s is not None and s > 1
+                and self.padding_mode == "zeros"
+                and sh == 1 and sw == 1 and kh == kw and kh % 2 == 1
+                and ph == pw == kh // 2
+                and self.features * s * s <= 192
+                and x.ndim == 4
+                and x.shape[1] % s == 0 and x.shape[2] % s == 0
+                and x.shape[1] >= kh + s)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -140,21 +197,52 @@ class Conv2d(nn.Module):
         in_ch = x.shape[-1]
         kernel = self.param("kernel", torch_conv_kernel_init,
                             (kh, kw, in_ch, self.features), jnp.float32)
-        if self.padding_mode == "reflect" and (ph or pw):
-            x = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)), mode="reflect")
-            pad = ((0, 0), (0, 0))
+        if self._s2d_out_applicable(x, kh, kw, sh, sw, ph, pw):
+            y = _conv_s2d_out(x.astype(self.dtype), kernel.astype(self.dtype),
+                              kh, ph, self.features, self.s2d_out_block)
         else:
-            pad = ((ph, ph), (pw, pw))
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kernel.astype(self.dtype),
-            window_strides=(sh, sw), padding=pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+            if self.padding_mode == "reflect" and (ph or pw):
+                x = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)),
+                            mode="reflect")
+                pad = ((0, 0), (0, 0))
+            else:
+                pad = ((ph, ph), (pw, pw))
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(sh, sw), padding=pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param("bias", make_torch_bias_init(kh * kw * in_ch),
                               (self.features,), jnp.float32)
             y = y + bias
         return y.astype(self.dtype)
+
+
+def _conv_s2d_out(x: Array, kernel: Array, k: int, p: int, cout: int,
+                  s: int) -> Array:
+    """Stride-1 same-pad conv computed as an s-strided conv emitting the
+    s x s output-pixel block as cout*s*s channels (see Conv2d docstring).
+
+    out[s*i + py] needs input rows (s*i + py - p) .. (s*i + py - p + k - 1):
+    a stride-s conv with per-side pad (p, p + s - 1), kernel rows py..py+k-1
+    of a (k+s-1)-tall buffer holding the original kernel at offset py.
+    """
+    ks = k + s - 1
+    in_ch = x.shape[-1]
+    kb = jnp.zeros((ks, ks, in_ch, cout * s * s), kernel.dtype)
+    for py in range(s):
+        for px in range(s):
+            kb = kb.at[py:py + k, px:px + k, :,
+                       (py * s + px) * cout:(py * s + px + 1) * cout
+                       ].add(kernel)
+    y = jax.lax.conv_general_dilated(
+        x, kb, window_strides=(s, s),
+        padding=((p, p + s - 1), (p, p + s - 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    b, hs, ws, _ = y.shape
+    y = y.reshape(b, hs, ws, s, s, cout).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(b, hs * s, ws * s, cout)
 
 
 class ConvTranspose2d(nn.Module):
@@ -244,17 +332,26 @@ class CBINorm(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, cond: Array) -> Array:
-        h = instance_norm(x, self.eps)
+    def __call__(self, x: Array, cond: Array, relu: bool = False) -> Array:
         cb = Dense(self.features, dtype=self.dtype, name="con_bias")(cond)
-        tar_bias = jnp.tanh(cb.astype(jnp.float32))[:, None, None, :]
-        out = h.astype(jnp.float32) + tar_bias
+        t = jnp.tanh(cb.astype(jnp.float32))
         if self.affine:
             scale = self.param("scale", nn.initializers.ones,
                                (self.features,), jnp.float32)
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)
-            out = out * scale + bias
+        else:
+            scale = jnp.ones((self.features,), jnp.float32)
+            bias = jnp.zeros((self.features,), jnp.float32)
+        if _use_fused_norm(x):
+            from srgan_tpu.ops.pallas.norm import fused_cbinorm
+            return fused_cbinorm(x.astype(self.dtype), t, scale, bias,
+                                 self.eps, relu)
+        out = instance_norm(x, self.eps).astype(jnp.float32) \
+            + t[:, None, None, :]
+        out = out * scale + bias
+        if relu:
+            out = jnp.maximum(out, 0.0)
         return out.astype(self.dtype)
 
 

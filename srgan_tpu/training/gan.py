@@ -254,12 +254,22 @@ class GANTrainer:
             mean_err = total / n_classes
             return total, mean_err
 
-        def ge_loss_fn(g_params, e_params, d_params, g_stats, e_stats,
-                       images, onehot_src, onehot_tgt, src_labels,
-                       tgt_labels, c_rand, hist_target, keys):
-            # --- fakes: rematerialize the retained graph from the last D step
+        def ge_loss_fn(g_params, e_params, d_params_in, d_opt_in, g_stats,
+                       e_stats, images, onehot_src, onehot_tgt, src_labels,
+                       tgt_labels, c_rand, hist_target, keys, lr_d):
+            # --- the k-th unrolled fake, computed ONCE: its stop_gradient'd
+            # value drives the final D update (folded in here so the same
+            # G forward serves both that update and phase 1's retained-graph
+            # rematerialization — the reference's retained graph shares it
+            # too, util_notebook.py:202/:278); the outer grad does not flow
+            # into the D update (stop_gradient in d_loss_fn), matching
+            # torch autograd never differentiating through optD.step().
             fake, g_stats = self._G_t(g_params, g_stats, images,
                                       jnp.concatenate([onehot_tgt, c_rand], 1))
+            d_grads, errD_last = jax.grad(d_loss_fn, has_aux=True)(
+                d_params_in, images, fake, onehot_src, src_labels, tgt_labels)
+            d_params, d_opt = adam_apply(self.tx, d_grads, d_opt_in,
+                                         d_params_in, lr_d)
 
             # --- encoder on source (one trunk forward, per-call eps draws)
             mu, logvar, _, e_stats = self._E_trunk(e_params, images,
@@ -314,7 +324,8 @@ class GANTrainer:
             total = errG + errE
             metrics["errG_phase1"] = errG
             metrics["errE"] = errE_out
-            return total, (metrics, g_stats, e_stats)
+            return total, (metrics, g_stats, e_stats, d_params, d_opt,
+                           errD_last)
 
         def g2_loss_fn(g_params, e_params, g_stats, e_stats, images,
                        onehot_src, onehot_tgt, c_rand, keys):
@@ -361,14 +372,15 @@ class GANTrainer:
             # ---------------- unrolled D updates ----------------
             # k is static and small (<= 5): an unrolled Python loop lets the
             # first-iteration snapshot be a plain reference (no masking), and
-            # XLA is free to schedule the k G-forwards independently.
+            # XLA is free to schedule the k G-forwards independently.  The
+            # k-th update is folded into the phase-1 grad function so its
+            # fake's G forward is computed once, not twice.
             keys = jax.random.split(rng, k + 4)
             d_params, d_opt = state.d_params, state.d_opt
             g_stats, e_stats = state.g_stats, state.e_stats
             snap = None
             errD0 = None
-            latent = None
-            for i in range(k):
+            for i in range(k - 1):
                 latent = self._draw_latent(keys[i], (B, ndim))
                 fake, g_stats = self._G_t(state.g_params, g_stats, images,
                                           jnp.concatenate(
@@ -384,13 +396,18 @@ class GANTrainer:
                     snap = d_params
                     errD0 = errD_mean
 
-            # ---------------- phase 1: joint G/E ----------------
+            # ---------------- phase 1: joint G/E (+ final D update) --------
+            latent = self._draw_latent(keys[k - 1], (B, ndim))
             ge_keys = keys[k:k + 2]
-            (_, (metrics, g_stats, e_stats)), (g_grads, e_grads) = \
+            (_, (metrics, g_stats, e_stats, d_params, d_opt, errD_last)), \
+                (g_grads, e_grads) = \
                 jax.value_and_grad(ge_loss_fn, argnums=(0, 1), has_aux=True)(
-                    state.g_params, state.e_params, d_params, g_stats,
+                    state.g_params, state.e_params, d_params, d_opt, g_stats,
                     e_stats, images, onehot_src, onehot_tgt, src_labels,
-                    tgt_labels, latent, state.hist_target, ge_keys)
+                    tgt_labels, latent, state.hist_target, ge_keys, lr_d)
+            if k == 1:
+                snap = d_params
+                errD0 = errD_last
             if state.e_mask is not None:
                 e_grads = mask_grads(e_grads, state.e_mask)
             g_params, g_opt = adam_apply(self.tx, g_grads, state.g_opt,

@@ -183,3 +183,41 @@ def test_fused_diversification_matches_jnp(rng):
     g2 = jax.grad(f_ref)(mu)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_fused_cbinorm_kernel_matches_reference():
+    """Fused Pallas instance-norm kernel (interpret on CPU) == the jnp
+    CBINorm math, forward and gradients."""
+    import jax
+    import jax.numpy as jnp
+    from srgan_tpu.ops.pallas.norm import fused_cbinorm
+
+    rng = np.random.default_rng(5)
+    B, H, W, C = 3, 8, 8, 16
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32) * 2)
+    t = jnp.asarray(np.tanh(rng.standard_normal((B, C))).astype(np.float32))
+    g = jnp.asarray(rng.uniform(0.5, 1.5, (C,)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((C,)).astype(np.float32))
+
+    def ref(x, t, g, b, relu):
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=(1, 2), keepdims=True)
+        var = jnp.var(x32, axis=(1, 2), keepdims=True)
+        out = (x32 - mu) * jax.lax.rsqrt(var + 1e-5)
+        out = (out + t[:, None, None, :]) * g + b
+        return jnp.maximum(out, 0.0) if relu else out
+
+    for relu in (False, True):
+        got = fused_cbinorm(x, t, g, b, 1e-5, relu)
+        want = ref(x, t, g, b, relu)
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+        def loss_f(fn):
+            return lambda *a: jnp.sum(jnp.sin(fn(*a) * 0.7))
+
+        gf = jax.grad(loss_f(lambda x, t, g, b: fused_cbinorm(
+            x, t, g, b, 1e-5, relu)), argnums=(0, 1, 2, 3))(x, t, g, b)
+        gr = jax.grad(loss_f(lambda x, t, g, b: ref(x, t, g, b, relu)),
+                      argnums=(0, 1, 2, 3))(x, t, g, b)
+        for a, e in zip(gf, gr):
+            np.testing.assert_allclose(a, e, atol=2e-5, rtol=2e-4)

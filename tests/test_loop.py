@@ -55,3 +55,79 @@ def test_train_gan_pretrained_requires_ckpt(tmp_path):
         train_gan(cfg, str(tmp_path / "run"), epochs=1, sample_grids=False,
                   synthetic_per_class=10, echo=False,
                   synthetic_dir_override=str(tmp_path / "data"))
+
+
+def test_nb05_pretrain_then_train_end_to_end(tmp_path):
+    """The full notebook-04 -> notebook-05 pipeline: pretrain the
+    Encoder_classifier on synthetic data, keep the best checkpoint, feed it
+    into train_gan with pretrained_encoder=True, and assert (a) the
+    classifier learned above chance, (b) the transferred trunk + fcclass are
+    bit-frozen through GAN training, (c) fcmean trains, (d) the encoder's
+    class head still classifies above chance after GAN training."""
+    import jax
+    import jax.numpy as jnp
+
+    from srgan_tpu.configs import ClassifierConfig
+    from srgan_tpu.data import DataLoader, FaceDataset, make_synthetic_celeba
+    from srgan_tpu.training.classifier import ClassifierTrainer
+    from srgan_tpu.utils.checkpoint import save_checkpoint
+
+    model = tiny_cfg().model
+    data_root, attr_file = make_synthetic_celeba(str(tmp_path / "data"),
+                                                 n_per_class=24)
+    ccfg = ClassifierConfig(model=model, epochs=6, lr=1e-3, batch_size=16,
+                            test_interval=2, train_num=16, val_num=4,
+                            test_num=4)
+    common = dict(attr_file=attr_file, train_num=16, val_num=4, test_num=4,
+                  image_size=model.image_size)
+    train_ds = FaceDataset(data_root, data_type="train", **common)
+    val_ds = FaceDataset(data_root, data_type="val", **common)
+
+    ctrainer = ClassifierTrainer(ccfg)
+    cstate = ctrainer.init_state(jax.random.PRNGKey(0))
+
+    def batches(ds, shuffle):
+        def it():
+            dl = DataLoader(ds, batch_size=16, shuffle=shuffle,
+                            drop_last=shuffle, sample_targets=False, seed=0)
+            for b in dl:
+                yield b["image"], b["source_label"]
+        return it
+
+    cstate, best_params, best_acc = ctrainer.fit(
+        cstate, batches(train_ds, True), batches(val_ds, False))
+    # the synthetic classes are separated by mean color: must beat chance
+    assert best_acc > 0.5, best_acc
+    save_checkpoint(str(tmp_path / "clf" / "classifier_best"),
+                    jax.device_get(best_params))
+
+    cfg = dataclasses.replace(tiny_cfg(), pretrained_encoder=True)
+    trainer, state = train_gan(
+        cfg, str(tmp_path / "run"), epochs=1, sample_grids=False,
+        synthetic_per_class=10, echo=False,
+        classifier_ckpt=str(tmp_path / "clf" / "classifier_best"),
+        synthetic_dir_override=str(tmp_path / "gan_data"))
+
+    # (b) frozen transfer: trunk + fcclass identical to the classifier ckpt
+    post = jax.device_get(state.e_params)
+    for key in best_params:
+        for (pa, pb) in zip(jax.tree.leaves(best_params[key]),
+                            jax.tree.leaves(post[key])):
+            np.testing.assert_array_equal(pa, pb, err_msg=key)
+    # (c) fcmean trained (it feeds the style losses)
+    init_state = trainer.init_state(
+        jax.random.PRNGKey(cfg.train.seed),
+        e_params_override=best_params, freeze_pretrained=True)
+    assert not np.allclose(post["fcmean"]["kernel"],
+                           np.asarray(init_state.e_params["fcmean"]["kernel"]))
+
+    # (d) encoder class head still classifies above chance
+    correct = total = 0
+    dl = DataLoader(val_ds, batch_size=16, shuffle=False, drop_last=False,
+                    sample_targets=False)
+    for b in dl:
+        _, _, cls_out = trainer.encode(state, jnp.asarray(b["image"]))
+        preds = np.argmax(np.asarray(cls_out), axis=1)
+        correct += int((preds == np.asarray(b["source_label"])).sum())
+        total += len(preds)
+    assert correct / total > 0.5, (correct, total)

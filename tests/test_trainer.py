@@ -131,9 +131,12 @@ def test_frozen_encoder_trunk():
         if key == "fcmean":
             assert moved, f"{key} should train"
         elif key == "fcvar":
-            # trainable but zero-grad in mu-mode proposed-KL: logvar feeds
-            # nothing (true of the reference too — sampling off, KL off)
-            pass
+            # trainable but EXACTLY zero-grad in mu-mode proposed-KL: logvar
+            # feeds nothing (true of the reference too — sampling off, KL
+            # off), and a zero-grad Adam step at t=1 moves nothing, so the
+            # params must be bit-identical
+            assert not moved, ("fcvar is trainable but must receive exactly "
+                               "zero grads in mu-mode proposed-KL")
         else:
             assert not moved, f"{key} should be frozen"
 

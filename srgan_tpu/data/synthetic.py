@@ -32,10 +32,12 @@ MALE_COL, SMILING_COL, NO_BEARD_COL = 21, 32, 25
 
 def make_synthetic_celeba(out_dir: str, n_per_class: int = 10,
                           size: Tuple[int, int] = (178, 218),
-                          seed: int = 0) -> Tuple[str, str]:
+                          seed: int = 0,
+                          noise_sigma: float = 40.0) -> Tuple[str, str]:
     """Returns (image_root, attr_file_path).  Classes cycle through
     (male, smiling) in the reference's class order [( 1,1),(1,-1),(-1,1),
-    (-1,-1)]."""
+    (-1,-1)].  ``noise_sigma`` sets the per-pixel noise around the
+    class-signature mean color (lower = stronger class signal)."""
     rng = np.random.default_rng(seed)
     img_dir = os.path.join(out_dir, "img")
     os.makedirs(img_dir, exist_ok=True)
@@ -49,7 +51,7 @@ def make_synthetic_celeba(out_dir: str, n_per_class: int = 10,
             # class-dependent mean color + noise => learnable signal
             base = np.array([60 + 60 * (male > 0), 80 + 60 * (smiling > 0),
                              120], np.float32)
-            arr = np.clip(base + rng.normal(0, 40, (size[1], size[0], 3)),
+            arr = np.clip(base + rng.normal(0, noise_sigma, (size[1], size[0], 3)),
                           0, 255).astype(np.uint8)
             Image.fromarray(arr).save(
                 os.path.join(img_dir, name.replace(".jpg", ".png")))

@@ -214,6 +214,151 @@ def import_torch_classifier(sd: Dict[str, np.ndarray],
     return im.finish()
 
 
+# ---------------------------------------------------------------------------
+# torch state-dict EXPORT — exact inverses of the importers, so trained
+# srgan_tpu params round-trip into the reference's torch modules
+# (model.py:203-508) and its checkpoints/pipelines keep working.
+# ---------------------------------------------------------------------------
+
+def _inv_conv_w(a):   # HWIO -> OIHW
+    return np.transpose(np.asarray(a), (3, 2, 0, 1))
+
+
+def _inv_convT_w(a):  # (kh, kw, in, out) -> (in, out, kh, kw)
+    return np.transpose(np.asarray(a), (2, 3, 0, 1))
+
+
+def _inv_lin_w(a):    # (in, out) -> (out, in)
+    return np.transpose(np.asarray(a))
+
+
+def _inv_vec(a):
+    return np.asarray(a)
+
+
+class _Exporter:
+    """Mirror of _Importer: target-path -> torch-key assignments."""
+
+    def __init__(self, params: Dict):
+        self.params = params
+        self.sd: Dict[str, np.ndarray] = {}
+
+    def _get(self, path):
+        node = self.params
+        for p in path:
+            node = node[p]
+        return node
+
+    def put(self, torch_key: str, path, fn):
+        self.sd[torch_key] = fn(self._get(path))
+
+    def cbinorm(self, prefix: str, path, affine: bool = True):
+        self.put(f"{prefix}.ConBias.0.weight", path + ("con_bias", "kernel"),
+                 _inv_lin_w)
+        self.put(f"{prefix}.ConBias.0.bias", path + ("con_bias", "bias"),
+                 _inv_vec)
+        if affine:
+            self.put(f"{prefix}.weight", path + ("scale",), _inv_vec)
+            self.put(f"{prefix}.bias", path + ("bias",), _inv_vec)
+
+
+def export_torch_generator(params: Dict, num_cls: int = 2,
+                           res_num: int = 6) -> Dict[str, np.ndarray]:
+    """Inverse of import_torch_generator (SingleGenerator naming)."""
+    ex = _Exporter(params)
+    for i in range(num_cls + 1):
+        ex.put(f"down_convs.{i}.weight", (f"down_conv_{i}", "kernel"),
+               _inv_conv_w)
+        ex.cbinorm(f"down_cnorms.{i}", (f"down_cnorm_{i}",))
+    for i in range(res_num):
+        ex.put(f"resBlocks.{i}.c1.weight", (f"res_{i}", "c1", "kernel"),
+               _inv_conv_w)
+        ex.put(f"resBlocks.{i}.c2.weight", (f"res_{i}", "c2", "kernel"),
+               _inv_conv_w)
+        ex.cbinorm(f"resBlocks.{i}.cn1", (f"res_{i}", "cn1"))
+        ex.cbinorm(f"resBlocks.{i}.cn2", (f"res_{i}", "cn2"))
+    for j in range(num_cls):
+        ex.put(f"up_convs.{j}.weight", (f"up_conv_{j}", "kernel"),
+               _inv_convT_w)
+    ex.put(f"up_convs.{num_cls}.weight", ("up_conv_out", "kernel"),
+           _inv_conv_w)
+    return ex.sd
+
+
+def _export_solo_trunk(ex: _Exporter, prefix: str, target: str,
+                       num_cls: int, with_head: bool):
+    for i in range(num_cls):
+        ex.put(f"{prefix}.down_convs.{2 * i}.weight",
+               (target, f"conv_{i}", "kernel"), _inv_conv_w)
+    if with_head:
+        ex.put(f"{prefix}.down_convs.{2 * num_cls}.weight",
+               (target, "conv_out", "kernel"), _inv_conv_w)
+        ex.put(f"{prefix}.down_convs.{2 * num_cls}.bias",
+               (target, "conv_out", "bias"), _inv_vec)
+
+
+def export_torch_original_discriminator(params: Dict, num_cls: int = 4
+                                        ) -> Dict[str, np.ndarray]:
+    ex = _Exporter(params)
+    _export_solo_trunk(ex, "discriminator1", "discriminator1", num_cls, True)
+    _export_solo_trunk(ex, "discriminator2", "discriminator2", num_cls, True)
+    return ex.sd
+
+
+def export_torch_solo_discriminator(params: Dict, num_cls: int = 4
+                                    ) -> Dict[str, np.ndarray]:
+    ex = _Exporter(params)
+    _export_solo_trunk(ex, "discriminator1", "discriminator1", num_cls, False)
+    _export_solo_trunk(ex, "discriminator2", "discriminator2", num_cls, False)
+    for name in ("last_layer1", "last_layer2"):
+        ex.put(f"{name}.weight", (name, "kernel"), _inv_conv_w)
+        ex.put(f"{name}.bias", (name, "bias"), _inv_vec)
+    for name in ("classification_layer1", "classification_layer2"):
+        ex.put(f"{name}.0.weight", (name, "kernel"), _inv_conv_w)
+        ex.put(f"{name}.0.bias", (name, "bias"), _inv_vec)
+    return ex.sd
+
+
+def _export_encoder_trunk(ex: _Exporter, num_cls: int, conditional: bool):
+    ex.put("first_layer.weight", ("first_layer", "kernel"), _inv_conv_w)
+    ex.put("first_layer.bias", ("first_layer", "bias"), _inv_vec)
+    for i in range(num_cls):
+        ex.put(f"layers.{i}.conv1.weight", (f"layers_{i}", "conv1", "kernel"),
+               _inv_conv_w)
+        ex.put(f"layers.{i}.cmp.0.weight",
+               (f"layers_{i}", "cmp_conv", "kernel"), _inv_conv_w)
+        ex.put(f"layers.{i}.shortcut.1.weight",
+               (f"layers_{i}", "shortcut_conv", "kernel"), _inv_conv_w)
+        ex.put(f"layers.{i}.shortcut.1.bias",
+               (f"layers_{i}", "shortcut_conv", "bias"), _inv_vec)
+        if conditional:
+            ex.cbinorm(f"layers.{i}.cnorm1", (f"layers_{i}", "cnorm1"))
+            ex.cbinorm(f"layers.{i}.cnorm2", (f"layers_{i}", "cnorm2"))
+
+
+def export_torch_encoder(params: Dict, num_cls: int = 4,
+                         conditional: bool = False) -> Dict[str, np.ndarray]:
+    ex = _Exporter(params)
+    _export_encoder_trunk(ex, num_cls, conditional)
+    ex.put("fcmean.weight", ("fcmean", "kernel"), _inv_lin_w)
+    ex.put("fcmean.bias", ("fcmean", "bias"), _inv_vec)
+    ex.put("fcvar.weight", ("fcvar", "kernel"), _inv_lin_w)
+    ex.put("fcvar.bias", ("fcvar", "bias"), _inv_vec)
+    if not conditional:
+        ex.put("fcclass.weight", ("fcclass", "kernel"), _inv_lin_w)
+        ex.put("fcclass.bias", ("fcclass", "bias"), _inv_vec)
+    return ex.sd
+
+
+def save_torch_state_dict(path: str, sd: Dict[str, np.ndarray]):
+    """Write an exported state dict as a torch ``.pth`` the reference's
+    ``load_state_dict`` accepts."""
+    import torch
+
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}, path)
+
+
 def import_torch_vgg(sd: Dict[str, np.ndarray]) -> Dict:
     """torchvision vgg19_bn state dict -> {params, batch_stats} variables."""
     from srgan_tpu.evaluation.features import VGG19_CFG

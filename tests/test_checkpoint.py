@@ -224,3 +224,59 @@ def test_orbax_roundtrip(tmp_path):
                                   jax.tree.map(jnp.zeros_like, state), step=3)
     np.testing.assert_array_equal(restored["a"], np.arange(5))
     np.testing.assert_array_equal(restored["nested"]["b"], np.ones((2, 3)))
+
+
+def test_torch_export_roundtrip_and_reference_load(tmp_path):
+    """Exporters are exact inverses of the importers, and the exported .pth
+    loads into the reference's own torch modules reproducing our outputs."""
+    import sys
+    import types
+
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    torch = pytest.importorskip("torch")
+
+    from srgan_tpu.nn import SingleGenerator
+    from srgan_tpu.utils.checkpoint import (
+        export_torch_generator,
+        import_torch_generator,
+        save_torch_state_dict,
+    )
+
+    gen = SingleGenerator(nch_in=3, nch=8, reduce=2, num_cls=2, res_num=1,
+                          num_con=12)
+    params = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                      jnp.zeros((1, 12)))["params"]
+
+    sd = export_torch_generator(params, num_cls=2, res_num=1)
+    back = import_torch_generator(sd, num_cls=2, res_num=1)
+    for (pa, pb) in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+    # the reference torch module must accept it strictly and agree on outputs
+    if "prdc" not in sys.modules:
+        stub = types.ModuleType("prdc")
+        stub.compute_prdc = None
+        sys.modules["prdc"] = stub
+    sys.path.insert(0, "/root/reference/pyfiles")
+    try:
+        import model as ref
+    finally:
+        sys.path.remove("/root/reference/pyfiles")
+    net = ref.SingleGenerator(3, 8, 2, 2, 1, "instance", num_con=12)
+    pth = str(tmp_path / "g.pth")
+    save_torch_state_dict(pth, sd)
+    net.load_state_dict(torch.load(pth, weights_only=True), strict=True)
+    net.eval()
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    cond = rng.standard_normal((2, 12)).astype(np.float32)
+    ours = gen.apply({"params": params}, jnp.asarray(x), jnp.asarray(cond))
+    with torch.no_grad():
+        theirs = net(torch.from_numpy(x.transpose(0, 3, 1, 2).copy()),
+                     torch.from_numpy(cond))
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2),
+                               theirs.numpy(), atol=1e-5, rtol=1e-5)

@@ -350,6 +350,18 @@ def export_torch_encoder(params: Dict, num_cls: int = 4,
     return ex.sd
 
 
+def export_torch_classifier(params: Dict, num_cls: int = 4
+                            ) -> Dict[str, np.ndarray]:
+    """Inverse of import_torch_classifier (Encoder_classifier naming) —
+    also accepts a full Encoder param tree (fcmean/fcvar simply ignored),
+    mirroring the reference's strict=False transfer direction."""
+    ex = _Exporter(params)
+    _export_encoder_trunk(ex, num_cls, conditional=False)
+    ex.put("fcclass.weight", ("fcclass", "kernel"), _inv_lin_w)
+    ex.put("fcclass.bias", ("fcclass", "bias"), _inv_vec)
+    return ex.sd
+
+
 def save_torch_state_dict(path: str, sd: Dict[str, np.ndarray]):
     """Write an exported state dict as a torch ``.pth`` the reference's
     ``load_state_dict`` accepts."""

@@ -280,3 +280,22 @@ def test_torch_export_roundtrip_and_reference_load(tmp_path):
                      torch.from_numpy(cond))
     np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2),
                                theirs.numpy(), atol=1e-5, rtol=1e-5)
+
+
+def test_torch_export_classifier_roundtrip():
+    import jax
+    import jax.numpy as jnp
+
+    from srgan_tpu.nn import EncoderClassifier
+    from srgan_tpu.utils.checkpoint import (
+        export_torch_classifier,
+        import_torch_classifier,
+    )
+
+    clf = EncoderClassifier(nch_in=3, nch_out=8, nch=8, num_cls=2, num_con=4)
+    params = clf.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 32, 32, 3)))["params"]
+    sd = export_torch_classifier(params, num_cls=2)
+    back = import_torch_classifier(sd, num_cls=2)
+    for (pa, pb) in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))

@@ -443,6 +443,10 @@ class GANTrainer:
             return new_state, metrics
 
         donate = (0,) if self.donate else ()
+        # 64 MiB scoped VMEM (default 16) lets the TPU compiler build larger
+        # conv fusions: +3.5% step throughput measured on v5e (docs/PERF.md)
+        opts = ({"xla_tpu_scoped_vmem_limit_kib": "65536"}
+                if jax.default_backend() == "tpu" else None)
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
             data = NamedSharding(self.mesh, P("data"))
@@ -450,8 +454,10 @@ class GANTrainer:
                 train_step, donate_argnums=donate,
                 in_shardings=(repl, data, data, data, repl, repl, repl, repl),
                 out_shardings=(repl, repl),
+                compiler_options=opts,
             )
-        return jax.jit(train_step, donate_argnums=donate)
+        return jax.jit(train_step, donate_argnums=donate,
+                       compiler_options=opts)
 
     # ------------------------------------------------------------------
     # public API

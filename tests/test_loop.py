@@ -131,3 +131,40 @@ def test_nb05_pretrain_then_train_end_to_end(tmp_path):
         correct += int((preds == np.asarray(b["source_label"])).sum())
         total += len(preds)
     assert correct / total > 0.5, (correct, total)
+
+
+def test_vgg_finetune_job_steps_and_improves_loss(tmp_path):
+    """The notebook-B job (training/vgg_finetune.py): a few fine-tune steps
+    on synthetic data must run, update BN stats, and reduce the loss."""
+    import jax
+    import numpy as np
+
+    from srgan_tpu.training.vgg_finetune import VGGFinetuneTrainer
+
+    # the job's real lr (notebook B used 5e-5); larger rates explode a
+    # random-init VGG19-BN within a step
+    trainer = VGGFinetuneTrainer(n_classes=4, lr=5e-5)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, 4, 4)
+    # strong class-dependent color so a few steps suffice
+    base = np.eye(4, dtype=np.float32)[labels] @ np.array(
+        [[0.8, -0.8, 0.0], [-0.8, 0.8, 0.0], [0.0, 0.8, -0.8],
+         [-0.8, 0.0, 0.8]], np.float32)
+    imgs = np.clip(base[:, None, None, :]
+                   + rng.normal(0, 0.1, (4, 128, 128, 3)), -1, 1
+                   ).astype(np.float32)
+
+    bs_before = jax.tree.leaves(state.batch_stats)[0].copy()
+    losses = []
+    for _ in range(5):
+        state, m = trainer.step(state, imgs, labels)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert min(losses[1:]) < losses[0], losses
+    # BN running stats actually updated
+    assert not np.allclose(jax.tree.leaves(state.batch_stats)[0], bs_before)
+    # eval path runs
+    acc = trainer.evaluate(state, [(imgs, labels)])
+    assert 0.0 <= acc <= 1.0

@@ -123,6 +123,22 @@ def train_gan(cfg: ExperimentConfig, out_dir: str,
     epochs = epochs if epochs is not None else cfg.train.epochs
     interval = max(len(loader) // 3, 1)
 
+    # preemption safety: on SIGTERM/SIGINT finish the current step, save a
+    # resumable checkpoint, and exit cleanly (--resume picks it up).  The
+    # reference loses up to 3 epochs on any interruption.
+    stop_requested = []
+
+    def _request_stop(signum, frame):
+        stop_requested.append(signum)
+
+    import signal
+    old_handlers = {}
+    try:
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            old_handlers[sig] = signal.signal(sig, _request_stop)
+    except ValueError:
+        pass    # not in the main thread (e.g. under a test runner)
+
     step = 0
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
@@ -149,8 +165,17 @@ def train_gan(cfg: ExperimentConfig, out_dir: str,
                     plt.close(fig)
         if checkpoint_every and epoch % checkpoint_every == 0:
             save_checkpoint(os.path.join(out_dir, "ckpt"), state, step=epoch)
+        if stop_requested:
+            print(f"signal {stop_requested[0]} received: checkpointing at "
+                  f"epoch {epoch + 1} and stopping")
+            save_checkpoint(os.path.join(out_dir, "ckpt"), state,
+                            step=epoch + 1)
+            break
     if profile_dir:
         jax.profiler.stop_trace()
-    save_checkpoint(os.path.join(out_dir, "ckpt"), state, step=epochs)
+    for sig, h in old_handlers.items():
+        signal.signal(sig, h)
+    if not stop_requested:
+        save_checkpoint(os.path.join(out_dir, "ckpt"), state, step=epochs)
     logger.close()
     return trainer, state

@@ -168,3 +168,41 @@ def test_vgg_finetune_job_steps_and_improves_loss(tmp_path):
     # eval path runs
     acc = trainer.evaluate(state, [(imgs, labels)])
     assert 0.0 <= acc <= 1.0
+
+
+def test_sigterm_checkpoints_and_stops(tmp_path, monkeypatch):
+    """Preemption safety: a stop signal mid-training produces a resumable
+    checkpoint at the completed-epoch boundary and exits the loop."""
+    import signal
+    import os as _os
+
+    cfg = tiny_cfg()
+    out = str(tmp_path / "run")
+
+    # deliver SIGTERM deterministically from inside the loop (first metrics
+    # log of epoch 0) — the loop's handler sets a flag, the epoch finishes,
+    # then the loop checkpoints and stops
+    from srgan_tpu.utils import metrics as metrics_mod
+    orig_log = metrics_mod.MetricLogger.log
+    fired = []
+
+    def log_and_kill(self, *a, **k):
+        if not fired:
+            fired.append(1)
+            _os.kill(_os.getpid(), signal.SIGTERM)
+        return orig_log(self, *a, **k)
+
+    monkeypatch.setattr(metrics_mod.MetricLogger, "log", log_and_kill)
+    trainer, state = train_gan(
+        cfg, out, epochs=50, sample_grids=False, synthetic_per_class=10,
+        echo=False, synthetic_dir_override=str(tmp_path / "data"))
+    # stopped early with a checkpoint present
+    assert int(state.step) < 50 * 4
+    ckpts = sorted(os.listdir(tmp_path / "run" / "ckpt"))
+    assert ckpts, "no checkpoint written on stop"
+    # resume works from it
+    trainer, state2 = train_gan(
+        cfg, out, epochs=int(ckpts[-1].rsplit("_", 1)[1]) + 1,
+        sample_grids=False, synthetic_per_class=10, echo=False, resume=True,
+        synthetic_dir_override=str(tmp_path / "data"))
+    assert int(state2.step) > 0

@@ -23,7 +23,6 @@ remains the reference implementation and the CPU/test path.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

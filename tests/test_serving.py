@@ -1,6 +1,5 @@
 """Serving surface: Translator + the HTTP server end-to-end on CPU."""
 
-import sys
 import threading
 import urllib.request
 

@@ -43,6 +43,7 @@ def _fwd_kernel(x_ref, t_ref, g_ref, b_ref, o_ref, mu_ref, r_ref, *,
     C = x_ref.shape[2]
     ch = min(n, 2048)
     nch = n // ch
+    rem = n - nch * ch       # static tail when 2048 does not divide n
 
     def stat_body(c, acc):
         s, ss = acc
@@ -53,6 +54,10 @@ def _fwd_kernel(x_ref, t_ref, g_ref, b_ref, o_ref, mu_ref, r_ref, *,
     s, ss = jax.lax.fori_loop(
         0, nch, stat_body,
         (jnp.zeros((1, C), jnp.float32), jnp.zeros((1, C), jnp.float32)))
+    if rem:
+        xb = x_ref[0, pl.ds(nch * ch, rem), :].astype(jnp.float32)
+        s = s + jnp.sum(xb, axis=0, keepdims=True)
+        ss = ss + jnp.sum(xb * xb, axis=0, keepdims=True)
     mu = s / n
     var = jnp.maximum(ss / n - mu * mu, 0.0)
     r = jax.lax.rsqrt(var + eps)
@@ -68,6 +73,12 @@ def _fwd_kernel(x_ref, t_ref, g_ref, b_ref, o_ref, mu_ref, r_ref, *,
         return 0
 
     jax.lax.fori_loop(0, nch, apply_body, 0)
+    if rem:
+        xb = x_ref[0, pl.ds(nch * ch, rem), :].astype(jnp.float32)
+        out = xb * scale + shift
+        if relu:
+            out = jnp.maximum(out, 0.0)
+        o_ref[0, pl.ds(nch * ch, rem), :] = out.astype(o_ref.dtype)
     mu_ref[i, :] = mu[0]
     r_ref[i, :] = r[0]
 

@@ -142,40 +142,48 @@ def train_gan(cfg: ExperimentConfig, out_dir: str,
     step = 0
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
-    for epoch in range(start_epoch, epochs):
-        timer.reset()
-        for it, batch in enumerate(prefetch_to_device(loader, mesh)):
-            rng, sub = jax.random.split(rng)
-            state, metrics = trainer.step(state, batch, sub, epoch)
-            timer.update(cfg.train.batch_size)
-            step += 1
-            if it % interval == 0:
-                # sync (scalar fetch) so the throughput meter is honest
-                logger.log(metrics, epoch=epoch, step=step,
-                           images_per_sec=timer.images_per_sec)
-                if sample_grids and len(sample_ds) and it == 0:
-                    from srgan_tpu.utils.viz import training_progress_grid
-                    fig = training_progress_grid(
-                        trainer, state, sample_ds,
-                        min(53, len(sample_ds) - 1), LABEL_DESCRIPTION,
-                        rng=sub)
-                    fig.savefig(os.path.join(
-                        out_dir, f"progress_e{epoch:03d}_i{it:05d}.png"))
-                    import matplotlib.pyplot as plt
-                    plt.close(fig)
-        if checkpoint_every and epoch % checkpoint_every == 0:
-            save_checkpoint(os.path.join(out_dir, "ckpt"), state, step=epoch)
-        if stop_requested:
-            print(f"signal {stop_requested[0]} received: checkpointing at "
-                  f"epoch {epoch + 1} and stopping")
-            save_checkpoint(os.path.join(out_dir, "ckpt"), state,
-                            step=epoch + 1)
-            break
-    if profile_dir:
-        jax.profiler.stop_trace()
-    for sig, h in old_handlers.items():
-        signal.signal(sig, h)
+    try:
+        for epoch in range(start_epoch, epochs):
+            timer.reset()
+            for it, batch in enumerate(prefetch_to_device(loader, mesh)):
+                rng, sub = jax.random.split(rng)
+                state, metrics = trainer.step(state, batch, sub, epoch)
+                timer.update(cfg.train.batch_size)
+                step += 1
+                if it % interval == 0:
+                    # sync (scalar fetch) so the throughput meter is honest
+                    logger.log(metrics, epoch=epoch, step=step,
+                               images_per_sec=timer.images_per_sec)
+                    if sample_grids and len(sample_ds) and it == 0:
+                        from srgan_tpu.utils.viz import (
+                            training_progress_grid)
+                        fig = training_progress_grid(
+                            trainer, state, sample_ds,
+                            min(53, len(sample_ds) - 1), LABEL_DESCRIPTION,
+                            rng=sub)
+                        fig.savefig(os.path.join(
+                            out_dir, f"progress_e{epoch:03d}_i{it:05d}.png"))
+                        import matplotlib.pyplot as plt
+                        plt.close(fig)
+            # step = epochs COMPLETED, matching the preemption/final saves
+            # and the resume logic (resume re-enters at epoch == step)
+            if checkpoint_every and epoch % checkpoint_every == 0:
+                save_checkpoint(os.path.join(out_dir, "ckpt"), state,
+                                step=epoch + 1)
+            if stop_requested:
+                print(f"signal {stop_requested[0]} received: checkpointing "
+                      f"at epoch {epoch + 1} and stopping")
+                save_checkpoint(os.path.join(out_dir, "ckpt"), state,
+                                step=epoch + 1)
+                break
+    finally:
+        # restore handlers on ANY exit (exceptions included) so the calling
+        # process — notebooks, tests — keeps a working Ctrl-C
+        for sig, h in old_handlers.items():
+            signal.signal(sig, h)
+        if profile_dir:
+            jax.profiler.stop_trace()
+        logger.close()
     if not stop_requested:
         save_checkpoint(os.path.join(out_dir, "ckpt"), state, step=epochs)
-    logger.close()
     return trainer, state

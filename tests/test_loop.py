@@ -31,9 +31,10 @@ def test_train_gan_end_to_end(tmp_path):
     lines = [json.loads(l) for l in
              open(tmp_path / "run" / "metrics.jsonl")]
     assert lines and np.isfinite(lines[0]["errG"])
-    # checkpoints exist (epoch 0 + final)
-    assert os.path.isdir(tmp_path / "run" / "ckpt" / "step_0")
+    # checkpoint exists (periodic after epoch 0 and the final save both
+    # use the epochs-completed convention -> step_1)
     assert os.path.isdir(tmp_path / "run" / "ckpt" / "step_1")
+    assert not os.path.isdir(tmp_path / "run" / "ckpt" / "step_0")
 
 
 def test_train_gan_resume(tmp_path):

@@ -221,3 +221,30 @@ def test_fused_cbinorm_kernel_matches_reference():
                       argnums=(0, 1, 2, 3))(x, t, g, b)
         for a, e in zip(gf, gr):
             np.testing.assert_allclose(a, e, atol=2e-5, rtol=2e-4)
+
+
+def test_fused_cbinorm_tail_geometry():
+    """Regression (round-3 advisor finding): H*W > 2048 and not a multiple
+    of 2048 (e.g. 48x48 -> 2304) must include the remainder rows in the
+    stats AND write them — previously they were silently dropped."""
+    import jax
+    import jax.numpy as jnp
+    from srgan_tpu.ops.pallas.norm import fused_cbinorm
+
+    rng = np.random.default_rng(11)
+    B, H, W, C = 2, 48, 48, 8        # hw = 2304 = 2048 + 256 tail
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    t = jnp.asarray(np.tanh(rng.standard_normal((B, C))).astype(np.float32))
+    g = jnp.asarray(rng.uniform(0.5, 1.5, (C,)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((C,)).astype(np.float32))
+
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.var(x32, axis=(1, 2), keepdims=True)
+    want = ((x32 - mu) * jax.lax.rsqrt(var + 1e-5)
+            + t[:, None, None, :]) * g + b
+
+    got = fused_cbinorm(x, t, g, b, 1e-5, False)
+    assert bool(jnp.all(jnp.isfinite(got)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)

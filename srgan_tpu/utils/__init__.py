@@ -7,6 +7,7 @@ from srgan_tpu.utils.checkpoint import (  # noqa: F401
     import_torch_encoder,
     import_torch_classifier,
     import_torch_vgg,
+    export_torch_vgg,
     load_torch_state_dict,
 )
 from srgan_tpu.utils.metrics import MetricLogger, StepTimer  # noqa: F401

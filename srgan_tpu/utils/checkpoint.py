@@ -371,6 +371,46 @@ def save_torch_state_dict(path: str, sd: Dict[str, np.ndarray]):
                 for k, v in sd.items()}, path)
 
 
+def export_torch_vgg(variables: Dict) -> Dict[str, np.ndarray]:
+    """Inverse of ``import_torch_vgg``: ``{params, batch_stats}`` ->
+    torchvision ``vgg19_bn`` state-dict naming (``features.N.*`` /
+    ``classifier.N.*``), loadable with ``strict=True`` into the module the
+    reference wraps (evaluation.py:44-63).  Round-trip tested in
+    tests/test_vgg_fidelity.py."""
+    from srgan_tpu.evaluation.features import VGG19_CFG
+
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    sd: Dict[str, np.ndarray] = {}
+    seq = 0
+    conv_i = 0
+    for v in VGG19_CFG:
+        if v == "M":
+            seq += 1
+            continue
+        sd[f"features.{seq}.weight"] = _inv_conv_w(
+            params[f"conv_{conv_i}"]["kernel"])
+        sd[f"features.{seq}.bias"] = _inv_vec(
+            params[f"conv_{conv_i}"]["bias"])
+        sd[f"features.{seq + 1}.weight"] = _inv_vec(
+            params[f"bn_{conv_i}"]["scale"])
+        sd[f"features.{seq + 1}.bias"] = _inv_vec(
+            params[f"bn_{conv_i}"]["bias"])
+        sd[f"features.{seq + 1}.running_mean"] = _inv_vec(
+            stats[f"bn_{conv_i}"]["mean"])
+        sd[f"features.{seq + 1}.running_var"] = _inv_vec(
+            stats[f"bn_{conv_i}"]["var"])
+        sd[f"features.{seq + 1}.num_batches_tracked"] = np.asarray(
+            0, np.int64)
+        seq += 3
+        conv_i += 1
+    for t_idx, name in ((0, "fc0"), (3, "fc1"), (6, "fc2")):
+        sd[f"classifier.{t_idx}.weight"] = _inv_lin_w(
+            params[name]["kernel"])
+        sd[f"classifier.{t_idx}.bias"] = _inv_vec(params[name]["bias"])
+    return sd
+
+
 def import_torch_vgg(sd: Dict[str, np.ndarray]) -> Dict:
     """torchvision vgg19_bn state dict -> {params, batch_stats} variables."""
     from srgan_tpu.evaluation.features import VGG19_CFG

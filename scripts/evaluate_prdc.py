@@ -23,7 +23,7 @@ except ImportError:  # running from a bare checkout
 import jax
 import numpy as np
 
-from srgan_tpu.configs import PRESETS
+from srgan_tpu.configs import PRESETS, load_config_for_ckpt
 from srgan_tpu.data import FaceDataset, make_synthetic_celeba
 from srgan_tpu.evaluation import GANEvaluation, evaluation_init
 from srgan_tpu.evaluation.harness import comparison_table
@@ -37,7 +37,8 @@ from srgan_tpu.utils.checkpoint import (
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--preset", required=True, choices=sorted(PRESETS))
+    ap.add_argument("--preset", choices=sorted(PRESETS),
+                help="fallback when the run dir has no config.json")
     ap.add_argument("--ckpt", required=True,
                     help="orbax dir of the trained GAN state")
     ap.add_argument("--ckpt-step", type=int)
@@ -58,7 +59,7 @@ def main():
     ap.add_argument("--test-num", type=int, default=100)
     args = ap.parse_args()
 
-    cfg = PRESETS[args.preset]()
+    cfg = load_config_for_ckpt(args.ckpt, args.preset)
     data_root, attr_file = args.data_root, args.attr_file
     if args.synthetic or not data_root:
         data_root, attr_file = make_synthetic_celeba(

@@ -22,7 +22,7 @@ except ImportError:  # running from a bare checkout
 
 import jax
 
-from srgan_tpu.configs import PRESETS
+from srgan_tpu.configs import PRESETS, load_config_for_ckpt
 from srgan_tpu.training import GANTrainer
 from srgan_tpu.utils.checkpoint import (
     export_torch_encoder,
@@ -36,13 +36,14 @@ from srgan_tpu.utils.checkpoint import (
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--preset", required=True, choices=sorted(PRESETS))
+    ap.add_argument("--preset", choices=sorted(PRESETS),
+                help="fallback when the run dir has no config.json")
     ap.add_argument("--ckpt", required=True, help="orbax checkpoint dir")
     ap.add_argument("--ckpt-step", type=int)
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
 
-    cfg = PRESETS[args.preset]()
+    cfg = load_config_for_ckpt(args.ckpt, args.preset)
     trainer = GANTrainer(cfg)
     target = jax.device_get(trainer.init_state(
         jax.random.PRNGKey(0), freeze_pretrained=cfg.pretrained_encoder))

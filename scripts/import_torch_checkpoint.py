@@ -19,7 +19,7 @@ except ImportError:  # running from a bare checkout
 
 import jax
 
-from srgan_tpu.configs import PRESETS
+from srgan_tpu.configs import PRESETS, save_config
 from srgan_tpu.training import GANTrainer
 from srgan_tpu.utils.checkpoint import (
     import_torch_encoder,
@@ -33,7 +33,10 @@ from srgan_tpu.utils.checkpoint import (
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--preset", required=True, choices=sorted(PRESETS))
+    ap.add_argument("--preset", choices=sorted(PRESETS))
+    ap.add_argument("--config-from",
+                    help="config.json of an existing run — takes precedence "
+                         "over --preset (carries geometry overrides)")
     ap.add_argument("--generator-pth")
     ap.add_argument("--discriminator-pth", nargs="+",
                     help="solo: one .pth; per-domain: one per domain")
@@ -42,7 +45,15 @@ def main():
     ap.add_argument("--step", type=int, default=0)
     args = ap.parse_args()
 
-    cfg = PRESETS[args.preset]()
+    if args.config_from:
+        import json
+
+        from srgan_tpu.configs import config_from_dict
+        cfg = config_from_dict(json.load(open(args.config_from)))
+    elif args.preset:
+        cfg = PRESETS[args.preset]()
+    else:
+        ap.error("pass --preset or --config-from")
     trainer = GANTrainer(cfg)
     state = trainer.init_state(
         jax.random.PRNGKey(0), freeze_pretrained=cfg.pretrained_encoder)
@@ -78,6 +89,7 @@ def main():
         print("imported encoder")
 
     save_checkpoint(args.out, state, step=args.step)
+    save_config(cfg, args.out)   # let downstream CLIs rebuild the model
     print(f"orbax state -> {args.out}/step_{args.step}")
 
 

@@ -20,7 +20,7 @@ except ImportError:  # running from a bare checkout
 import jax
 import numpy as np
 
-from srgan_tpu.configs import PRESETS
+from srgan_tpu.configs import PRESETS, load_config_for_ckpt
 from srgan_tpu.data import FaceDataset, make_synthetic_celeba
 from srgan_tpu.data.dataset import LABEL_DESCRIPTION
 from srgan_tpu.training import GANTrainer
@@ -30,7 +30,8 @@ from srgan_tpu.utils.viz import get_samples, save_gif, training_progress_grid
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--preset", required=True, choices=sorted(PRESETS))
+    ap.add_argument("--preset", choices=sorted(PRESETS),
+                    help="fallback when the run dir has no config.json")
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--ckpt-step", type=int)
     ap.add_argument("--out", required=True)
@@ -44,7 +45,7 @@ def main():
                     help="sweep one latent dim -8..8 instead of random draws")
     args = ap.parse_args()
 
-    cfg = PRESETS[args.preset]()
+    cfg = load_config_for_ckpt(args.ckpt, args.preset)
     data_root, attr_file = args.data_root, args.attr_file
     if args.synthetic or not data_root:
         data_root, attr_file = make_synthetic_celeba(

@@ -28,13 +28,14 @@ except ImportError:  # running from a bare checkout
     import os
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from srgan_tpu.configs import PRESETS
+from srgan_tpu.configs import PRESETS, load_config_for_ckpt
 from srgan_tpu.serving import Translator, make_handler
 
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--preset", required=True, choices=sorted(PRESETS))
+    ap.add_argument("--preset", choices=sorted(PRESETS),
+                help="fallback when the run dir has no config.json")
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--ckpt-step", type=int)
     ap.add_argument("--host", default="127.0.0.1")
@@ -43,13 +44,13 @@ def main():
                     default=[1, 8, 32])
     args = ap.parse_args()
 
-    cfg = PRESETS[args.preset]()
+    cfg = load_config_for_ckpt(args.ckpt, args.preset)
     print("loading + warming compile cache ...", flush=True)
     translator = Translator(cfg, args.ckpt, step=args.ckpt_step,
                             warm_batch_sizes=args.warm_batch_sizes)
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(translator))
-    print(f"serving {args.preset} on http://{args.host}:{args.port}",
+    print(f"serving {cfg.name} on http://{args.host}:{args.port}",
           flush=True)
     server.serve_forever()
 

@@ -50,6 +50,15 @@ def main():
     ap.add_argument("--train-num", type=int)
     ap.add_argument("--test-num", type=int)
     ap.add_argument("--compute-dtype", choices=["float32", "bfloat16"])
+    # model-geometry overrides (persisted in the run's config.json so
+    # downstream CLIs rebuild the matching model automatically)
+    ap.add_argument("--image-size", type=int)
+    ap.add_argument("--g-nch", type=int)
+    ap.add_argument("--d-nch", type=int)
+    ap.add_argument("--e-nch", type=int)
+    ap.add_argument("--g-res-num", type=int)
+    ap.add_argument("--d-num-cls", type=int)
+    ap.add_argument("--e-num-cls", type=int)
     ap.add_argument("--no-sample-grids", action="store_true")
     ap.add_argument("--resume", action="store_true",
                     help="resume from the latest checkpoint in --out")
@@ -70,6 +79,14 @@ def main():
     if train_over:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, **train_over))
+    model_over = {k: v for k, v in dict(
+        image_size=args.image_size, g_nch=args.g_nch, d_nch=args.d_nch,
+        e_nch=args.e_nch, g_res_num=args.g_res_num,
+        d_num_cls=args.d_num_cls, e_num_cls=args.e_num_cls).items()
+        if v is not None}
+    if model_over:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, **model_over))
     if not (args.synthetic or args.data_root):
         ap.error("pass --data-root/--attr-file (or --label-root), "
                  "or --synthetic")

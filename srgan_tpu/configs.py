@@ -220,6 +220,56 @@ class PRDCConfig:
     metrics: Tuple[str, ...] = ("precision", "recall", "density", "coverage")
 
 
+def config_to_dict(cfg: ExperimentConfig) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def config_from_dict(d: dict) -> ExperimentConfig:
+    return ExperimentConfig(
+        name=d["name"],
+        model=ModelConfig(**d["model"]),
+        train=TrainConfig(**d["train"]),
+        loss=LossWeights(**d["loss"]),
+        trainer=d.get("trainer", "srgan"),
+        pretrained_encoder=d.get("pretrained_encoder", False),
+    )
+
+
+def save_config(cfg: ExperimentConfig, out_dir: str) -> str:
+    """Persist the exact experiment config next to a run's artifacts so
+    downstream CLIs (sample_sweep / evaluate_prdc / serve / export) can
+    rebuild the matching model without the user re-specifying preset +
+    overrides.  The reference has no such record — its notebooks ARE the
+    config."""
+    import json
+    import os
+
+    path = os.path.join(out_dir, "config.json")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(config_to_dict(cfg), f, indent=1)
+    return path
+
+
+def load_config_for_ckpt(ckpt_path: str, preset: str | None = None
+                         ) -> ExperimentConfig:
+    """Resolve the config for a checkpoint dir: a ``config.json`` saved by
+    train.py (in the ckpt dir or its parent run dir) wins — it reflects the
+    run's actual overrides; otherwise fall back to the named preset."""
+    import json
+    import os
+
+    p = os.path.abspath(ckpt_path)
+    for cand_dir in (p, os.path.dirname(p)):
+        cand = os.path.join(cand_dir, "config.json")
+        if os.path.exists(cand):
+            return config_from_dict(json.load(open(cand)))
+    if preset is None:
+        raise ValueError(
+            f"no config.json found near {ckpt_path} and no --preset given")
+    return PRESETS[preset]()
+
+
 PRESETS = {
     "01_conventional_singlegan": lambda: conventional_singlegan(1, 0.0, "conventionalKL"),
     "01_proposed_singlegan_k1": lambda: conventional_singlegan(1, 0.0, "proposedKL"),

@@ -81,6 +81,8 @@ def train_gan(cfg: ExperimentConfig, out_dir: str,
         # (SURVEY.md §5): fail fast on the first non-finite value
         jax.config.update("jax_debug_nans", True)
     os.makedirs(out_dir, exist_ok=True)
+    from srgan_tpu.configs import save_config
+    save_config(cfg, out_dir)   # downstream CLIs auto-load this
     train_ds, sample_ds = build_datasets(
         cfg, data_root, attr_file, label_root,
         synthetic_dir=synthetic_dir_override,

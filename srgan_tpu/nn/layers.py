@@ -278,11 +278,17 @@ class ConvTranspose2d(nn.Module):
             bound = 1.0 / math.sqrt(fan_in)
             return jax.random.uniform(key, shape, dtype, -bound, bound)
 
+        # The kernel is STORED spatially pre-flipped (round 3): torch's
+        # transposed conv correlates with the 180deg-rotated kernel, and
+        # flipping at apply time cost a per-step HLO reverse on both the
+        # forward and every backward pass (docs/PERF.md round-2 trace,
+        # part of the 35 ms elementwise tail).  The .pth importer/exporter
+        # (_convT_w/_inv_convT_w) do the flip once at conversion; the init
+        # distribution is symmetric so kinit is unchanged.
         kernel = self.param("kernel", kinit, (kh, kw, in_ch, self.features),
                             jnp.float32)
-        flipped = jnp.flip(kernel, axis=(0, 1))
         y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), flipped.astype(self.dtype),
+            x.astype(self.dtype), kernel.astype(self.dtype),
             window_strides=(1, 1),
             padding=((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)),
             lhs_dilation=(sh, sw),

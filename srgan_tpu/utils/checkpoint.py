@@ -67,8 +67,11 @@ def _conv_w(a):       # OIHW -> HWIO
     return jnp.asarray(np.transpose(a, (2, 3, 1, 0)))
 
 
-def _convT_w(a):      # (in, out, kh, kw) -> (kh, kw, in, out)
-    return jnp.asarray(np.transpose(a, (2, 3, 0, 1)))
+def _convT_w(a):      # (in, out, kh, kw) -> (kh, kw, in, out), pre-flipped
+    # spatial 180deg flip done HERE once so ConvTranspose2d.apply needs no
+    # per-step jnp.flip (nn/layers.py round-3 note)
+    return jnp.asarray(np.ascontiguousarray(
+        np.transpose(a, (2, 3, 0, 1))[::-1, ::-1]))
 
 
 def _lin_w(a):        # (out, in) -> (in, out)
@@ -224,8 +227,9 @@ def _inv_conv_w(a):   # HWIO -> OIHW
     return np.transpose(np.asarray(a), (3, 2, 0, 1))
 
 
-def _inv_convT_w(a):  # (kh, kw, in, out) -> (in, out, kh, kw)
-    return np.transpose(np.asarray(a), (2, 3, 0, 1))
+def _inv_convT_w(a):  # (kh, kw, in, out) pre-flipped -> (in, out, kh, kw)
+    return np.ascontiguousarray(
+        np.transpose(np.asarray(a)[::-1, ::-1], (2, 3, 0, 1)))
 
 
 def _inv_lin_w(a):    # (in, out) -> (out, in)

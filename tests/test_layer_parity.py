@@ -75,8 +75,10 @@ def test_conv_transpose2d_matches_torch(rng, k, s, p, cin, cout, hw):
     assert ref.shape[-1] == (hw - 1) * s - 2 * p + k
 
     m = ConvTranspose2d(cout, k, s, p, use_bias=False)
-    # our kernel layout: (kh, kw, in, out)
-    kernel = jnp.asarray(np.transpose(w, (2, 3, 0, 1)))
+    # internal layout: (kh, kw, in, out) spatially pre-flipped — produced
+    # by the canonical torch->internal converter
+    from srgan_tpu.utils.checkpoint import _convT_w
+    kernel = _convT_w(w)
     out = m.apply({"params": {"kernel": kernel}}, jnp.asarray(nhwc(x)))
     np.testing.assert_allclose(np.transpose(out, (0, 3, 1, 2)), ref,
                                rtol=1e-3, atol=1e-3)

@@ -1,18 +1,28 @@
 """Throughput benchmark: full-size SRGAN training step on real TPU.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "images/sec", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "images/sec", "vs_baseline": N,
+   "mfu": M, "step_ms": T}
 
 Config = the flagship notebook-05 arm at full width (nch=64, res 6, solo D
 with d_num_cls=4, encoder 4 blocks, ndim=8), 128px, global batch 128,
 unrolled k=5 — i.e. one ``train()`` call of the reference per measured step.
 
+``mfu`` = XLA-counted FLOPs/step / step time / chip bf16 peak (v5e:
+197 TFLOP/s) — emitted every round per VERDICT r2 item 3 so the perf story
+is machine-checkable, not prose.
+
 The reference publishes no throughput numbers (BASELINE.md): ``vs_baseline``
 is measured against the recorded first-round number in ``BENCH_SELF.json``
 (self-baseline; 1.0 on the first run), so the ratio tracks our own progress
 across rounds.
+
+``--all`` additionally benches the per-domain SingleGAN k=5 arm and the
+batch-256 flagship (refreshing the round-1 numbers), writing
+docs/BENCH_ARMS.json; the driver-facing stdout line stays the flagship.
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -20,22 +30,84 @@ import time
 
 import numpy as np
 
+# chip bf16 peak FLOP/s by device_kind prefix
+_PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,      # v5e
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v6": 918e12,           # v6e / Trillium
+}
 
-def main():
+
+def _chip_peak(device) -> float | None:
+    kind = getattr(device, "device_kind", "")
+    for prefix, peak in _PEAK_FLOPS.items():
+        if kind.startswith(prefix):
+            return peak
+    return None
+
+
+def _count_flops_cpu(cfg) -> float | None:
+    """FLOPs/step via jax's lowering-level cost analysis on the CPU
+    backend (the tunneled TPU backend reports none client-side)."""
+    import subprocess
+    import tempfile
+
+    payload = json.dumps(_cfg_to_dict(cfg))
+    code = r"""
+import json, sys
+import jax, jax.numpy as jnp
+import numpy as np
+from srgan_tpu.configs import config_from_dict
+from srgan_tpu.training import GANTrainer
+
+cfg = config_from_dict(json.load(open(sys.argv[1])))
+trainer = GANTrainer(cfg, donate=False)
+state = trainer.init_state(jax.random.PRNGKey(0))
+b, hw = cfg.train.batch_size, cfg.model.image_size
+rng = np.random.default_rng(0)
+src = rng.integers(0, 4, b)
+lowered = trainer._jit_step.lower(
+    state, jnp.zeros((b, hw, hw, 3), jnp.float32), jnp.asarray(src),
+    jnp.asarray((src + 1) % 4), jax.random.PRNGKey(0),
+    jnp.float32(1e-4), jnp.float32(1e-4), jnp.float32(1e-4))
+ca = lowered.cost_analysis()
+print("FLOPS_RESULT", ca.get("flops") if ca else None)
+"""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    try:
+        with tempfile.NamedTemporaryFile("w", suffix=".json") as f:
+            f.write(payload)
+            f.flush()
+            proc = subprocess.run(
+                [sys.executable, "-c", code, f.name], env=env, text=True,
+                capture_output=True, timeout=900)
+        for line in proc.stdout.splitlines():
+            if line.startswith("FLOPS_RESULT"):
+                val = line.split()[1]
+                return None if val == "None" else float(val)
+        print(f"flop count failed: {proc.stderr[-500:]}", file=sys.stderr)
+    except Exception as e:  # pragma: no cover - analysis is best-effort
+        print(f"flop count unavailable: {e}", file=sys.stderr)
+    return None
+
+
+def _cfg_to_dict(cfg):
+    from srgan_tpu.configs import config_to_dict
+
+    return config_to_dict(cfg)
+
+
+def _measure(cfg, label: str) -> dict:
     import jax
     import jax.numpy as jnp
 
-    import dataclasses
-    from srgan_tpu.configs import srgan_full
     from srgan_tpu.training import GANTrainer
 
-    cfg = srgan_full()
-    # production compute dtype on TPU: bfloat16 convs, fp32 params/stats
-    if jax.default_backend() == "tpu":
-        cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(cfg.train, compute_dtype="bfloat16"))
-    batch = cfg.train.batch_size           # 128
-    hw = cfg.model.image_size              # 128
+    batch = cfg.train.batch_size
+    hw = cfg.model.image_size
 
     trainer = GANTrainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
@@ -48,6 +120,11 @@ def main():
         "source_label": jnp.asarray(src),
         "target_label": jnp.asarray((src + rng.integers(1, 4, batch)) % 4),
     }
+
+    # XLA's own FLOP count for the whole train step.  The axon backend's
+    # client-side lowering returns no cost analysis, so count in a CPU
+    # subprocess: same program, same shapes/dtypes, XLA's HLO flop counter.
+    flops = _count_flops_cpu(cfg)
 
     # warmup: compile + flush the tunneled-TPU relay's first-dispatch
     # anomaly (the first post-compile batch of dispatches can stall for
@@ -68,9 +145,66 @@ def main():
                                     jax.random.PRNGKey(1000 + trial * 100 + i))
         float(m["errG"])   # true sync (see warmup note)
         best = min(best, time.perf_counter() - t0)
-    dt = best
+    dt = best / iters
 
-    images_per_sec = batch * iters / dt
+    peak = _chip_peak(jax.devices()[0])
+    out = {
+        "label": label,
+        "images_per_sec": round(batch / dt, 2),
+        "step_ms": round(dt * 1e3, 2),
+        "flops_per_step": flops,
+        "mfu": (round(flops / dt / peak, 4)
+                if flops and peak else None),
+    }
+    print(json.dumps(out), file=sys.stderr)
+    return out
+
+
+def _flagship_cfg():
+    import jax
+
+    from srgan_tpu.configs import srgan_full
+
+    cfg = srgan_full()
+    # production compute dtype on TPU: bfloat16 convs, fp32 params/stats
+    if jax.default_backend() == "tpu":
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           compute_dtype="bfloat16"))
+    return cfg
+
+
+def main():
+    run_all = "--all" in sys.argv
+
+    flag = _measure(_flagship_cfg(), "srgan_full_b128")
+
+    if run_all:
+        from srgan_tpu.configs import conventional_singlegan
+
+        import jax
+
+        results = [flag]
+        # per-domain SingleGAN, k=5 (the vmapped stacked-D arm)
+        cfg = conventional_singlegan(5, 0.5, "proposedKL")
+        if jax.default_backend() == "tpu":
+            cfg = dataclasses.replace(
+                cfg, train=dataclasses.replace(cfg.train,
+                                               compute_dtype="bfloat16"))
+        results.append(_measure(cfg, "singlegan_perdomain_k5_b128"))
+        # flagship at batch 256
+        cfg = _flagship_cfg()
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, batch_size=256))
+        results.append(_measure(cfg, "srgan_full_b256"))
+        arms_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "docs", "BENCH_ARMS.json")
+        with open(arms_path, "w") as f:
+            json.dump({"results": results,
+                       "note": "3-arm TPU bench (round 3); flagship line "
+                               "is the driver-facing stdout"}, f, indent=1)
+
+    images_per_sec = flag["images_per_sec"]
     self_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_SELF.json")
     if os.path.exists(self_path):
@@ -83,9 +217,11 @@ def main():
                                "no throughput, BASELINE.md)"}, f)
     print(json.dumps({
         "metric": "srgan_train_images_per_sec_per_chip",
-        "value": round(images_per_sec, 2),
+        "value": images_per_sec,
         "unit": "images/sec",
         "vs_baseline": round(images_per_sec / base, 3),
+        "mfu": flag["mfu"],
+        "step_ms": flag["step_ms"],
     }))
 
 

@@ -216,7 +216,14 @@ def diversification_loss(mu: Array, logvar: Array, *, weights, n_batch: int,
     Returns (errE, metrics_dict).
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        # Whole-step A/B on v5e (round 3, docs/PERF.md): fused Pallas
+        # 344.19 img/s vs XLA 344.23 — an exact tie (the (B,8) op is
+        # negligible either way).  Tie -> simpler default: the XLA path,
+        # which is also the reference-semantics implementation.  The fused
+        # kernel stays available via SRGAN_TPU_FUSED_DIV=1.
+        import os
+        use_pallas = (os.environ.get("SRGAN_TPU_FUSED_DIV") == "1"
+                      and jax.default_backend() == "tpu")
     errE = jnp.float32(0.0)
     metrics = {}
     if weights.KL > 0:

@@ -33,11 +33,15 @@ MALE_COL, SMILING_COL, NO_BEARD_COL = 21, 32, 25
 def make_synthetic_celeba(out_dir: str, n_per_class: int = 10,
                           size: Tuple[int, int] = (178, 218),
                           seed: int = 0,
-                          noise_sigma: float = 40.0) -> Tuple[str, str]:
+                          noise_sigma: float = 40.0,
+                          smiling_boost: float = 0.0) -> Tuple[str, str]:
     """Returns (image_root, attr_file_path).  Classes cycle through
     (male, smiling) in the reference's class order [( 1,1),(1,-1),(-1,1),
     (-1,-1)].  ``noise_sigma`` sets the per-pixel noise around the
-    class-signature mean color (lower = stronger class signal)."""
+    class-signature mean color (lower = stronger class signal).
+    ``smiling_boost`` > 0 strengthens the Smiling axis: +boost on the G
+    shift and a -boost/2 B shift, making it a 2-channel signature like the
+    Male axis (round-3 evidence knob; 0 = the original fixture)."""
     rng = np.random.default_rng(seed)
     img_dir = os.path.join(out_dir, "img")
     os.makedirs(img_dir, exist_ok=True)
@@ -49,8 +53,10 @@ def make_synthetic_celeba(out_dir: str, n_per_class: int = 10,
             idx += 1
             name = f"{idx:06d}.jpg"
             # class-dependent mean color + noise => learnable signal
-            base = np.array([60 + 60 * (male > 0), 80 + 60 * (smiling > 0),
-                             120], np.float32)
+            base = np.array(
+                [60 + 60 * (male > 0),
+                 80 + (60 + smiling_boost) * (smiling > 0),
+                 120 - (smiling_boost / 2) * (smiling > 0)], np.float32)
             arr = np.clip(base + rng.normal(0, noise_sigma, (size[1], size[0], 3)),
                           0, 255).astype(np.uint8)
             Image.fromarray(arr).save(

@@ -170,3 +170,23 @@ def test_serve_cli_roundtrip(trained_run):
             proc.wait(timeout=20)
         except subprocess.TimeoutExpired:
             proc.kill()
+
+
+def test_ref_torch_train_cli(tmp_path):
+    """The reference-trainer evidence driver (scripts/ref_torch_train.py)
+    runs the ACTUAL torch SRGAN_training end-to-end tiny and emits the
+    oracle summary JSON."""
+    if not os.path.isdir("/root/reference/pyfiles"):
+        pytest.skip("reference checkout not available")
+    from srgan_tpu.data.synthetic import make_synthetic_celeba
+    root, attr = make_synthetic_celeba(str(tmp_path / "fx"), n_per_class=8,
+                                       noise_sigma=15.0)
+    out = str(tmp_path / "summary.json")
+    _run("ref_torch_train.py", "--data-root", root, "--attr-file", attr,
+         "--train-num", "8", "--test-num", "4", "--epochs", "1",
+         "--batch-size", "4", "--nch", "8", "--res-num", "1",
+         "--unrolled-k", "1", "--out", out, timeout=900)
+    summary = json.load(open(out))
+    assert summary["real_acc"] == 1.0
+    assert len(summary["trained"]["pairs"]) == 12
+    assert all(0.0 <= v <= 1.0 for v in summary["trained"]["pairs"].values())

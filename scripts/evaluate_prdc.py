@@ -9,7 +9,6 @@ precision/recall/density/coverage, repeats, and pickles the
 """
 
 import argparse
-import dataclasses
 import os
 import pickle
 import sys

@@ -18,7 +18,6 @@ except ImportError:  # running from a bare checkout
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-import numpy as np
 
 from srgan_tpu.configs import ClassifierConfig
 from srgan_tpu.data import DataLoader, FaceDataset, make_synthetic_celeba

@@ -44,10 +44,18 @@ def main():
     ap.add_argument("--batch-sizes", default="1,8,32,128")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--out", default="docs/BENCH_SERVING.json")
+    ap.add_argument("--compute-dtype", default=None,
+                    help="override preset conv compute dtype "
+                         "(e.g. bfloat16 for throughput-serving mode)")
     args = ap.parse_args()
 
     sizes = [int(s) for s in args.batch_sizes.split(",")]
     cfg = PRESETS[args.preset]()
+    if args.compute_dtype:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           compute_dtype=args.compute_dtype))
 
     with tempfile.TemporaryDirectory() as tmp:
         # Translator restores from a checkpoint dir; give it fresh init.

@@ -190,3 +190,27 @@ def test_ref_torch_train_cli(tmp_path):
     assert summary["real_acc"] == 1.0
     assert len(summary["trained"]["pairs"]) == 12
     assert all(0.0 <= v <= 1.0 for v in summary["trained"]["pairs"].values())
+
+
+def test_analyze_trace_cli(tmp_path):
+    """scripts/analyze_trace.py parses the committed round-3 trace artifact
+    and attributes device time through a (stub) optimized-HLO op_name map."""
+    trace_dir = os.path.join(REPO, "docs", "trace_r03")
+    if not os.path.isdir(trace_dir):
+        pytest.skip("trace artifact not present")
+    # tiny stub HLO: only instructions present in it get op_name-matched;
+    # everything else lands in the unmatched bucket — fine for a smoke
+    hlo = tmp_path / "hlo.txt"
+    hlo.write_text(
+        '%fusion.1 = f32[2,2]{1,0} fusion(%p0), kind=kOutput, '
+        'calls=%fc.1, metadata={op_name="jit(train_step)/'
+        'jvp(SingleGenerator)/res_0/c1/conv_general_dilated"}\n')
+    proc = _run("analyze_trace.py", trace_dir, str(hlo), "3", timeout=120)
+    assert "leaf device time:" in proc.stdout
+    assert "ms/step" in proc.stdout
+
+
+def test_bench_serving_cli_help():
+    """Wiring smoke for the serving benchmark (full runs need the chip)."""
+    proc = _run("bench_serving.py", "--help", timeout=120)
+    assert "--batch-sizes" in proc.stdout and "--compute-dtype" in proc.stdout

@@ -14,6 +14,17 @@ against N calls of our jitted step.  Two regimes:
     committed curve (docs/evidence/trainer_dynamics_r03.json, written when
     SRGAN_TPU_WRITE_EVIDENCE=1) quantifies the accumulation.
 
+Step count: asserted at N=20 (override with SRGAN_TPU_DYNAMICS_STEPS); an
+extended N=50 run is committed as
+docs/evidence/trainer_dynamics_r03_n50.json.  At 50 steps the param-drift
+envelope stays sub-linear (g_max 2.9e-3 strict / 6.5e-3 full — far inside
+the linear bound) but the errE *loss trajectory* decorrelates up to
+5%/20% (strict/full): errE sums chaotic KL/corr/hist terms in the
+thousands, and fp-noise-seeded trajectory separation is exponential in
+any chaotic system — the macro dynamics still match (the full-length
+equilibrium identity in docs/TRAINING_EVIDENCE.md).  Hence loss-level
+assertions are only claimed for N=20.
+
 Injection mechanics: the one-step tests bake draws in at trace time, which
 cannot replay different draws through ONE compiled step.  Here the draws
 come from a host-side schedule through ``jax.pure_callback``: draw sites
@@ -62,7 +73,7 @@ from srgan_tpu.utils.checkpoint import (  # noqa: E402
     import_torch_solo_discriminator,
 )
 
-N_STEPS = 20
+N_STEPS = int(os.environ.get("SRGAN_TPU_DYNAMICS_STEPS", "20"))
 
 
 class ScheduledTrainer(GANTrainer):

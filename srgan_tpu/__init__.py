@@ -12,6 +12,6 @@ Public surface mirrors the reference's ``pyfiles/{model,dataset,evaluation}.py``
 capability-for-capability (see each module's docstring for file:line cites).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 from srgan_tpu import configs  # noqa: F401

@@ -32,6 +32,9 @@ def main():
                     help="feature extractor (default: first in each pickle)")
     ap.add_argument("--source", type=int, default=3)
     ap.add_argument("--target", type=int, default=2)
+    ap.add_argument("--json-out",
+                    help="also write the full (model x fe x metric) "
+                         "source x target tables as a JSON artifact")
     args = ap.parse_args()
 
     names = args.names or args.pickles
@@ -67,6 +70,33 @@ def main():
         rows.append(vals)
     print(f"\nall-pairs mean / {fe}:")
     print(pd.DataFrame(rows, index=names, columns=METRICS).round(4))
+
+    if args.json_out:
+        import json
+        import os
+
+        report = {}
+        for name, r in zip(names, results):
+            report[name] = {}
+            for fe_name in r:
+                fes = {}
+                for metric in METRICS:
+                    mat = [[float(np.mean(r[fe_name][s][t][metric]))
+                            for t in classes] for s in classes]
+                    off_diag = [mat[s][t] for s in range(len(classes))
+                                for t in range(len(classes)) if s != t]
+                    fes[metric] = {
+                        "source_x_target": mat,
+                        "mean_all_pairs": float(np.mean(
+                            [v for row in mat for v in row])),
+                        "mean_translation_pairs": float(np.mean(off_diag)),
+                    }
+                report[name][fe_name] = fes
+        os.makedirs(os.path.dirname(os.path.abspath(args.json_out)) or ".",
+                    exist_ok=True)
+        with open(args.json_out, "w") as f:
+            json.dump({"classes": classes, "models": report}, f, indent=1)
+        print(f"\nJSON tables -> {args.json_out}")
 
 
 if __name__ == "__main__":

@@ -39,9 +39,23 @@ def main():
     ap.add_argument("--train-num", type=int)
     ap.add_argument("--val-num", type=int)
     ap.add_argument("--test-num", type=int)
+    # model-geometry overrides — must match the encoder geometry of the
+    # SRGAN run that will consume this checkpoint (nb05 cell 22 transfer)
+    ap.add_argument("--e-nch", type=int)
+    ap.add_argument("--e-num-cls", type=int)
+    ap.add_argument("--image-size", type=int)
+    ap.add_argument("--seed", type=int)
     args = ap.parse_args()
 
     cfg = ClassifierConfig()
+    model_over = {k: v for k, v in dict(
+        e_nch=args.e_nch, e_num_cls=args.e_num_cls,
+        image_size=args.image_size).items() if v is not None}
+    if model_over:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, **model_over))
+    if args.seed is not None:
+        cfg = dataclasses.replace(cfg, seed=args.seed)
     if args.synthetic and args.test_num is None:
         args.test_num = 4   # the preset's test_num=100 would swallow a
                             # small synthetic dataset
@@ -90,10 +104,42 @@ def main():
     state, best_params, best_acc = trainer.fit(
         state, train_iter, val_iter if len(val_ds) else None,
         log_fn=logger.log)
-    save_checkpoint(os.path.join(args.out, "classifier_best"),
-                    best_params if best_params is not None
-                    else jax.device_get(state.params))
+    best = (best_params if best_params is not None
+            else jax.device_get(state.params))
+    save_checkpoint(os.path.join(args.out, "classifier_best"), best)
     print(f"best val accuracy: {best_acc:.4f} -> {args.out}/classifier_best")
+
+    # nb04 cells 28-33: test-set accuracy + confusion matrix on the BEST
+    # params — the evidence the reference uses to pick/trust the encoder
+    test_ds = FaceDataset(data_root, data_type="test", **common)
+    if len(test_ds):
+        import json
+
+        import numpy as np
+
+        from srgan_tpu.data.dataset import LABEL_DESCRIPTION
+        from srgan_tpu.utils.viz import plot_confusion_matrix
+
+        best_state = state.replace(params=jax.device_put(best))
+        tl = DataLoader(test_ds, batch_size=cfg.batch_size, shuffle=False,
+                        drop_last=False, sample_targets=False)
+        labels, preds, test_acc = trainer.evaluate(
+            best_state, ((b["image"], b["source_label"]) for b in tl))
+        n = cfg.model.n_classes
+        cm = np.zeros((n, n), np.int64)
+        np.add.at(cm, (labels, preds), 1)
+        fig = plot_confusion_matrix(
+            cm, LABEL_DESCRIPTION[:n], title="Encoder classifier (test)",
+            save_path=os.path.join(args.out, "confusion_matrix.png"))
+        import matplotlib.pyplot as plt
+        plt.close(fig)
+        with open(os.path.join(args.out, "test_metrics.json"), "w") as f:
+            json.dump({"best_val_accuracy": best_acc,
+                       "test_accuracy": test_acc,
+                       "test_n": int(len(labels)),
+                       "confusion_matrix": cm.tolist()}, f, indent=1)
+        print(f"test accuracy: {test_acc:.4f} "
+              f"(confusion matrix -> {args.out})")
 
 
 if __name__ == "__main__":

@@ -50,6 +50,8 @@ def main():
     ap.add_argument("--train-num", type=int)
     ap.add_argument("--test-num", type=int)
     ap.add_argument("--compute-dtype", choices=["float32", "bfloat16"])
+    ap.add_argument("--seed", type=int,
+                    help="training seed (init + shuffling + latents)")
     # model-geometry overrides (persisted in the run's config.json so
     # downstream CLIs rebuild the matching model automatically)
     ap.add_argument("--image-size", type=int)
@@ -74,7 +76,7 @@ def main():
     train_over = {k: v for k, v in dict(
         batch_size=args.batch_size, unrolled_k=args.unrolled_k,
         train_num=args.train_num, compute_dtype=args.compute_dtype,
-        test_num=args.test_num,
+        test_num=args.test_num, seed=args.seed,
         epochs=args.epochs).items() if v is not None}
     if train_over:
         cfg = dataclasses.replace(

@@ -263,7 +263,14 @@ def load_config_for_ckpt(ckpt_path: str, preset: str | None = None
     for cand_dir in (p, os.path.dirname(p)):
         cand = os.path.join(cand_dir, "config.json")
         if os.path.exists(cand):
-            return config_from_dict(json.load(open(cand)))
+            cfg = config_from_dict(json.load(open(cand)))
+            if preset is not None and cfg != PRESETS[preset]():
+                import warnings
+                warnings.warn(
+                    f"both {cand} and --preset {preset} given and they "
+                    f"differ: using the stored run config '{cfg.name}' "
+                    "(it reflects the run's actual overrides)")
+            return cfg
     if preset is None:
         raise ValueError(
             f"no config.json found near {ckpt_path} and no --preset given")

@@ -30,21 +30,58 @@ CELEBA_ATTRS = [
 MALE_COL, SMILING_COL, NO_BEARD_COL = 21, 32, 25
 
 
+def _smooth_field(rng: np.random.Generator, h: int, w: int,
+                  coarse: Tuple[int, int] = (5, 4),
+                  sigma: float = 1.0) -> np.ndarray:
+    """Low-frequency random field: N(0, sigma) on a coarse grid, bilinearly
+    upsampled to (h, w, 3).  Pure numpy (no scipy dependency)."""
+    ch, cw = coarse
+    grid = rng.normal(0, sigma, (ch, cw, 3)).astype(np.float32)
+    ys = np.linspace(0, ch - 1, h)
+    xs = np.linspace(0, cw - 1, w)
+    y0 = np.clip(ys.astype(np.int64), 0, ch - 2)
+    x0 = np.clip(xs.astype(np.int64), 0, cw - 2)
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+    g00 = grid[y0][:, x0]
+    g01 = grid[y0][:, x0 + 1]
+    g10 = grid[y0 + 1][:, x0]
+    g11 = grid[y0 + 1][:, x0 + 1]
+    return ((1 - wy) * ((1 - wx) * g00 + wx * g01)
+            + wy * ((1 - wx) * g10 + wx * g11))
+
+
 def make_synthetic_celeba(out_dir: str, n_per_class: int = 10,
                           size: Tuple[int, int] = (178, 218),
                           seed: int = 0,
                           noise_sigma: float = 40.0,
-                          smiling_boost: float = 0.0) -> Tuple[str, str]:
+                          smiling_boost: float = 0.0,
+                          mode: str = "noise") -> Tuple[str, str]:
     """Returns (image_root, attr_file_path).  Classes cycle through
     (male, smiling) in the reference's class order [( 1,1),(1,-1),(-1,1),
     (-1,-1)].  ``noise_sigma`` sets the per-pixel noise around the
     class-signature mean color (lower = stronger class signal).
     ``smiling_boost`` > 0 strengthens the Smiling axis: +boost on the G
     shift and a -boost/2 B shift, making it a 2-channel signature like the
-    Male axis (round-3 evidence knob; 0 = the original fixture)."""
+    Male axis (round-3 evidence knob; 0 = the original fixture).
+
+    ``mode`` selects the intra-class variation texture:
+
+      - ``"noise"`` (default, rounds 1-3): i.i.d. per-pixel Gaussian noise.
+        Learnable class signal, but PRDC over VGG features is degenerate on
+        it — features are dominated by noise *texture*, which a generator
+        cannot and should not reproduce (docs/TRAINING_EVIDENCE.md "PRDC").
+      - ``"structured"`` (round 4): smooth low-frequency content — a random
+        coarse-grid bilinear field, a random soft radial blob, and a random
+        linear shading gradient — whose class signal (the mean color) and
+        style variation both survive VGG feature extraction, making PRDC
+        informative: translated fakes can genuinely land on (or miss) the
+        real target-class feature manifold.
+    """
     rng = np.random.default_rng(seed)
     img_dir = os.path.join(out_dir, "img")
     os.makedirs(img_dir, exist_ok=True)
+    w, h = size
     class_sigs = [(1, 1), (1, -1), (-1, 1), (-1, -1)]
     rows = []
     idx = 0
@@ -57,8 +94,28 @@ def make_synthetic_celeba(out_dir: str, n_per_class: int = 10,
                 [60 + 60 * (male > 0),
                  80 + (60 + smiling_boost) * (smiling > 0),
                  120 - (smiling_boost / 2) * (smiling > 0)], np.float32)
-            arr = np.clip(base + rng.normal(0, noise_sigma, (size[1], size[0], 3)),
-                          0, 255).astype(np.uint8)
+            if mode == "structured":
+                # class-independent smooth "style": low-frequency field
+                # + soft radial blob + linear shading.  Amplitudes kept
+                # below the class color separation (60) so the class
+                # signal stays dominant in feature space.
+                field = _smooth_field(rng, h, w, sigma=18.0)
+                cy, cx = rng.uniform(0.25, 0.75) * h, rng.uniform(0.25, 0.75) * w
+                sig = rng.uniform(25.0, 55.0)
+                amp = rng.uniform(20.0, 45.0) * rng.choice([-1.0, 1.0])
+                yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+                blob = amp * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2)
+                                    / (2 * sig ** 2))
+                gdir = rng.uniform(0, 2 * np.pi)
+                gamp = rng.uniform(0.0, 15.0)
+                grad = gamp * ((yy / h - 0.5) * np.sin(gdir)
+                               + (xx / w - 0.5) * np.cos(gdir))
+                arr = np.clip(base + field + (blob + grad)[:, :, None],
+                              0, 255).astype(np.uint8)
+            else:
+                arr = np.clip(
+                    base + rng.normal(0, noise_sigma, (h, w, 3)),
+                    0, 255).astype(np.uint8)
             Image.fromarray(arr).save(
                 os.path.join(img_dir, name.replace(".jpg", ".png")))
             attrs = {a: -1 for a in CELEBA_ATTRS}

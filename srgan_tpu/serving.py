@@ -26,7 +26,10 @@ import numpy as np
 
 from srgan_tpu.configs import ExperimentConfig
 from srgan_tpu.training.gan import GANTrainer
-from srgan_tpu.utils.checkpoint import restore_checkpoint
+from srgan_tpu.utils.checkpoint import (
+    CheckpointVersionError,
+    restore_checkpoint,
+)
 
 
 class Translator:
@@ -40,13 +43,27 @@ class Translator:
     def __init__(self, cfg: ExperimentConfig, ckpt_dir: str,
                  step: Optional[int] = None,
                  warm_batch_sizes: Sequence[int] = (1, 8, 32),
-                 warmup: bool = True):
+                 warmup: bool = True,
+                 unversioned: str = "error"):
         self.cfg = cfg
         self.trainer = GANTrainer(cfg, donate=False)
         target = jax.device_get(self.trainer.init_state(
             jax.random.PRNGKey(0),
             freeze_pretrained=cfg.pretrained_encoder))
-        self.state = restore_checkpoint(ckpt_dir, target, step=step)
+        try:
+            self.state = restore_checkpoint(ckpt_dir, target, step=step,
+                                            unversioned=unversioned)
+        except CheckpointVersionError:
+            raise   # version-guard errors are already actionable
+        except Exception as e:
+            # orbax structure mismatches are opaque; say what they mean here
+            raise ValueError(
+                f"checkpoint {ckpt_dir} does not match the serving config "
+                f"'{cfg.name}' (trainer={cfg.trainer}, unrolled_k="
+                f"{cfg.train.unrolled_k}, pretrained_encoder="
+                f"{cfg.pretrained_encoder}).  Point --ckpt at the run dir "
+                "whose config.json matches, or pass the run's own config "
+                f"(original error: {type(e).__name__}: {e})") from e
         self.warm_sizes = tuple(sorted(warm_batch_sizes))
         self.ndim = cfg.model.ndim
         hw = cfg.model.image_size

@@ -81,8 +81,21 @@ def train_gan(cfg: ExperimentConfig, out_dir: str,
         # (SURVEY.md §5): fail fast on the first non-finite value
         jax.config.update("jax_debug_nans", True)
     os.makedirs(out_dir, exist_ok=True)
-    from srgan_tpu.configs import save_config
-    save_config(cfg, out_dir)   # downstream CLIs auto-load this
+    from srgan_tpu.configs import config_from_dict, config_to_dict, save_config
+    cfg_json = os.path.join(out_dir, "config.json")
+    if resume and os.path.exists(cfg_json):
+        # the original run record is what downstream CLIs rebuild the model
+        # from — never silently replace it on --resume
+        import json
+        stored = config_from_dict(json.load(open(cfg_json)))
+        if stored != cfg:
+            raise ValueError(
+                f"--resume with a different config than {cfg_json} "
+                f"(stored '{stored.name}' != requested '{cfg.name}' or "
+                "overrides differ); re-run with the original preset/"
+                "overrides, or use a fresh --out dir")
+    else:
+        save_config(cfg, out_dir)   # downstream CLIs auto-load this
     train_ds, sample_ds = build_datasets(
         cfg, data_root, attr_file, label_root,
         synthetic_dir=synthetic_dir_override,
@@ -117,7 +130,9 @@ def train_gan(cfg: ExperimentConfig, out_dir: str,
             state = restore_checkpoint(os.path.join(out_dir, "ckpt"),
                                        jax.device_get(state),
                                        step=start_epoch)
-            print(f"resumed from epoch {start_epoch}")
+            print(f"resumed from epoch {start_epoch} "
+                  "(checkpoint step = epochs completed; pre-0.3 checkpoints "
+                  "used step = last epoch index and will re-train one epoch)")
 
     logger = MetricLogger(os.path.join(out_dir, "metrics.jsonl"), echo=echo)
     timer = StepTimer()
@@ -156,7 +171,10 @@ def train_gan(cfg: ExperimentConfig, out_dir: str,
                     # sync (scalar fetch) so the throughput meter is honest
                     logger.log(metrics, epoch=epoch, step=step,
                                images_per_sec=timer.images_per_sec)
-                    if sample_grids and len(sample_ds) and it == 0:
+                    # grid at every metric interval = ~3x/epoch, the
+                    # reference's cadence (nb01 cell 22 renders alongside
+                    # each loss append)
+                    if sample_grids and len(sample_ds):
                         from srgan_tpu.utils.viz import (
                             training_progress_grid)
                         fig = training_progress_grid(

@@ -31,7 +31,43 @@ import numpy as np
 # orbax persistence
 # ---------------------------------------------------------------------------
 
+# On-disk format version, stamped as a sidecar ``format.json`` next to the
+# orbax step dirs.  History:
+#   (unversioned)  rounds 1-2 — ConvTranspose kernels stored UNflipped
+#   2              round 3+   — ConvTranspose kernels stored spatially
+#                  pre-flipped (nn/layers.py round-3 layout change); ALL
+#                  other params unchanged
+# Restoring an unversioned checkpoint is ambiguous (it computes silently
+# wrong up-conv outputs if it predates the flip), so it fails loudly unless
+# the caller says which layout it holds (``unversioned=``).
+CKPT_FORMAT_VERSION = 2
+
+
+class CheckpointVersionError(ValueError):
+    """Raised when a checkpoint's on-disk format version is missing or
+    unsupported (as opposed to a structure/shape mismatch)."""
+
+
+def _flip_convtranspose_kernels(tree: Any) -> Any:
+    """Migrate a pre-flip (rounds 1-2) param tree to the current layout by
+    180deg-rotating every ConvTranspose kernel.  ConvTranspose lives only in
+    the generator's ``up_conv_{j}`` modules (nn/generator.py; ``up_conv_out``
+    is a plain conv)."""
+    def fix(path, leaf):
+        names = [str(getattr(k, "key", getattr(k, "name", k)))
+                 for k in path]
+        if (len(names) >= 2 and names[-1] == "kernel"
+                and names[-2].startswith("up_conv_")
+                and names[-2] != "up_conv_out"):
+            return jnp.asarray(np.asarray(leaf)[::-1, ::-1])
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(fix, tree)
+
+
 def save_checkpoint(path: str, state: Any, step: Optional[int] = None):
+    import json
+
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
@@ -40,16 +76,93 @@ def save_checkpoint(path: str, state: Any, step: Optional[int] = None):
                              "state"),
                 jax.device_get(state), force=True)
     ckpter.wait_until_finished()
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "format.json"), "w") as f:
+        json.dump({"format_version": CKPT_FORMAT_VERSION,
+                   "convtranspose_layout": "pre-flipped"}, f)
 
 
-def restore_checkpoint(path: str, target: Any, step: Optional[int] = None):
+def checkpoint_format_version(path: str) -> Optional[int]:
+    """Version stamped in ``path`` (or its parent, for a step dir passed
+    directly); None for an unversioned (pre-round-3) checkpoint."""
+    import json
+
+    p = os.path.abspath(path)
+    for cand in (p, os.path.dirname(p)):
+        f = os.path.join(cand, "format.json")
+        if os.path.exists(f):
+            return int(json.load(open(f)).get("format_version", 0))
+    return None
+
+
+def latest_step(path: str) -> Optional[int]:
+    """Largest ``step_N`` under an orbax checkpoint dir, or None."""
+    import glob
+    import re
+
+    steps = []
+    for p in glob.glob(os.path.join(os.path.abspath(path), "step_*")):
+        m = re.match(r".*step_(\d+)$", p)
+        if m:
+            steps.append(int(m.group(1)))
+    return max(steps) if steps else None
+
+
+def restore_checkpoint(path: str, target: Any, step: Optional[int] = None,
+                       unversioned: str = "error"):
+    """Restore an orbax checkpoint saved by ``save_checkpoint``.
+
+    ``step=None`` restores the stepless ``state`` entry if present,
+    otherwise the LATEST ``step_N`` (so CLIs pointed at a training run dir
+    pick up the newest checkpoint without an explicit --ckpt-step).
+
+    ``unversioned`` controls checkpoints with no ``format.json``:
+      - ``"error"`` (default): refuse with an actionable message — an
+        unversioned dir may hold the pre-flip ConvTranspose layout and
+        would silently compute 180deg-rotated up-conv kernels;
+      - ``"preflipped"``: trust it as the current (round-3+) layout;
+      - ``"unflipped"``: treat it as rounds-1-2 layout and auto-migrate
+        (flip every generator ``up_conv_*`` kernel).
+    """
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
+    version = checkpoint_format_version(path)
+    if version is not None and version > CKPT_FORMAT_VERSION:
+        raise CheckpointVersionError(
+            f"checkpoint {path} has format_version={version} > supported "
+            f"{CKPT_FORMAT_VERSION}; upgrade srgan_tpu to restore it")
+    if version is None and unversioned == "error":
+        raise CheckpointVersionError(
+            f"checkpoint {path} has no format.json: it predates checkpoint "
+            "versioning and may hold the pre-flip ConvTranspose layout "
+            "(silently wrong up-conv outputs).  If it was saved by "
+            "srgan_tpu >= 0.3 (round 3), pass unversioned='preflipped'; "
+            "if older, pass unversioned='unflipped' to auto-migrate.")
+    if step is None and not os.path.isdir(os.path.join(path, "state")):
+        step = latest_step(path)
     ckpter = ocp.StandardCheckpointer()
-    return ckpter.restore(os.path.join(path, f"step_{step}"
-                                       if step is not None else "state"),
-                          jax.device_get(target))
+    restored = ckpter.restore(os.path.join(path, f"step_{step}"
+                                           if step is not None else "state"),
+                              jax.device_get(target))
+    if target is not None:
+        # orbax restores a same-structure tree even when leaf SHAPES differ
+        # (e.g. a checkpoint from a different model width) — that would
+        # compute silently wrong outputs downstream, so validate here
+        def _check(kpath, t, r):
+            ts, rs = tuple(np.shape(t)), tuple(np.shape(r))
+            if ts != rs:
+                name = jax.tree_util.keystr(kpath)
+                raise ValueError(
+                    f"checkpoint {path} param {name} has shape {rs} but the "
+                    f"restore target expects {ts} — the checkpoint was "
+                    "saved under a different model config")
+            return r
+        jax.tree_util.tree_map_with_path(_check, jax.device_get(target),
+                                         restored)
+    if version is None and unversioned == "unflipped":
+        restored = _flip_convtranspose_kernels(restored)
+    return restored
 
 
 # ---------------------------------------------------------------------------

@@ -30,8 +30,18 @@ class Adam14(torch.optim.Optimizer):
     def __init__(self, params, lr=1e-4, betas=(0.5, 0.999), eps=1e-8):
         super().__init__(params, dict(lr=lr, betas=betas, eps=eps))
 
-    @torch.no_grad()
-    def step(self):
+    def step(self, closure=None):
+        # keep the torch.optim.Optimizer.step(closure=None) contract so LR
+        # schedulers / wrappers that pass a closure keep working
+        loss = None
+        if closure is not None:
+            with torch.enable_grad():
+                loss = closure()
+        with torch.no_grad():
+            self._step_impl()
+        return loss
+
+    def _step_impl(self):
         for group in self.param_groups:
             b1, b2 = group["betas"]
             for p in group["params"]:

@@ -7,6 +7,8 @@ every target param assigned with the right shape, and a known value must
 land transposed correctly.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -299,3 +301,47 @@ def test_torch_export_classifier_roundtrip():
     back = import_torch_classifier(sd, num_cls=2)
     for (pa, pb) in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
         np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_checkpoint_format_versioning(tmp_path):
+    """Round-4 version guard: the round-3 pre-flipped ConvTranspose layout
+    is stamped on disk; unversioned checkpoints refuse to restore silently
+    (ADVICE r3: layouts changed without a marker)."""
+    from srgan_tpu.utils.checkpoint import (
+        CKPT_FORMAT_VERSION,
+        checkpoint_format_version,
+    )
+
+    k = jnp.arange(2 * 2 * 3 * 4, dtype=jnp.float32).reshape(2, 2, 3, 4)
+    state = {"g_params": {"up_conv_0": {"kernel": k},
+                          "up_conv_out": {"kernel": k}}}
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state, step=1)
+    assert checkpoint_format_version(path) == CKPT_FORMAT_VERSION
+    # a step dir passed directly resolves the parent's stamp
+    assert checkpoint_format_version(path + "/step_1") == CKPT_FORMAT_VERSION
+    target = jax.tree.map(jnp.zeros_like, state)
+    restored = restore_checkpoint(path, target, step=1)
+    np.testing.assert_array_equal(restored["g_params"]["up_conv_0"]["kernel"], k)
+
+    # unversioned (pre-round-3) checkpoint: loud failure by default
+    os.remove(os.path.join(path, "format.json"))
+    assert checkpoint_format_version(path) is None
+    with pytest.raises(ValueError, match="format.json"):
+        restore_checkpoint(path, target, step=1)
+    # caller asserts it's already the new layout -> restored untouched
+    ok = restore_checkpoint(path, target, step=1, unversioned="preflipped")
+    np.testing.assert_array_equal(ok["g_params"]["up_conv_0"]["kernel"], k)
+    # caller says rounds-1-2 layout -> ConvTranspose kernels auto-flipped,
+    # plain convs (up_conv_out) untouched
+    mig = restore_checkpoint(path, target, step=1, unversioned="unflipped")
+    np.testing.assert_array_equal(
+        mig["g_params"]["up_conv_0"]["kernel"], np.asarray(k)[::-1, ::-1])
+    np.testing.assert_array_equal(mig["g_params"]["up_conv_out"]["kernel"], k)
+
+    # future format version -> refuse
+    import json
+    with open(os.path.join(path, "format.json"), "w") as f:
+        json.dump({"format_version": CKPT_FORMAT_VERSION + 1}, f)
+    with pytest.raises(ValueError, match="format_version"):
+        restore_checkpoint(path, target, step=1)

@@ -147,3 +147,35 @@ def test_loader_batches(celeba):
     # shuffling changes order between epochs
     e2 = next(iter(dl))
     assert not np.array_equal(b["image"], e2["image"])
+
+
+def test_structured_fixture_mode(tmp_path):
+    """Round-4 structured fixture: smooth low-frequency content whose class
+    signal is the mean color (docs/TRAINING_EVIDENCE.md "PRDC": the noise
+    fixture makes PRDC degenerate; the structured one makes it informative).
+    """
+    img_root, attr_file = make_synthetic_celeba(
+        str(tmp_path), n_per_class=4, mode="structured", seed=3)
+    ds = FaceDataset(img_root, attr_file=attr_file, data_type="train",
+                     train_num=4, val_num=0, test_num=0)
+    assert len(ds) == 16
+    by = {c: np.stack([ds[i][0] for i in range(len(ds))
+                       if ds.labels[i] == c]) for c in range(4)}
+    # class color signatures: R high for male classes (0, 1), G high for
+    # smiling classes (0, 2) — same ordering as the noise fixture
+    r = {c: by[c][..., 0].mean() for c in range(4)}
+    g = {c: by[c][..., 1].mean() for c in range(4)}
+    assert min(r[0], r[1]) > max(r[2], r[3])
+    assert min(g[0], g[2]) > max(g[1], g[3])
+    # smoothness: neighboring-pixel correlation far above the noise mode's
+    def neighbor_corr(x):
+        a = x[:, :-1, :, :].ravel()
+        b = x[:, 1:, :, :].ravel()
+        return np.corrcoef(a, b)[0, 1]
+    noise_root, noise_attr = make_synthetic_celeba(
+        str(tmp_path / "noise"), n_per_class=4, mode="noise", seed=3)
+    nds = FaceDataset(noise_root, attr_file=noise_attr, data_type="train",
+                      train_num=4, val_num=0, test_num=0)
+    noise = np.stack([nds[i][0] for i in range(4)])
+    assert neighbor_corr(by[0]) > 0.95
+    assert neighbor_corr(noise) < 0.9

@@ -207,3 +207,39 @@ def test_sigterm_checkpoints_and_stops(tmp_path, monkeypatch):
         sample_grids=False, synthetic_per_class=10, echo=False, resume=True,
         synthetic_dir_override=str(tmp_path / "data"))
     assert int(state2.step) > 0
+
+
+def test_resume_with_different_config_refuses(tmp_path):
+    """--resume must not silently replace the run's config.json record
+    (round-3 advisor finding): differing configs are an error."""
+    cfg = tiny_cfg()
+    out = str(tmp_path / "run")
+    train_gan(cfg, out, epochs=1, sample_grids=False, synthetic_per_class=10,
+              echo=False, synthetic_dir_override=str(tmp_path / "data"))
+    other = dataclasses.replace(cfg, name="loop_other")
+    with pytest.raises(ValueError, match="resume with a different config"):
+        train_gan(other, out, epochs=2, sample_grids=False,
+                  synthetic_per_class=10, echo=False, resume=True,
+                  synthetic_dir_override=str(tmp_path / "data"))
+    # identical config still resumes fine
+    train_gan(cfg, out, epochs=2, sample_grids=False, synthetic_per_class=10,
+              echo=False, resume=True,
+              synthetic_dir_override=str(tmp_path / "data"))
+
+
+def test_load_config_warns_on_conflicting_preset(tmp_path):
+    """Passing --preset alongside a run dir that has a differing config.json
+    warns which one wins (round-3 advisor finding)."""
+    import warnings
+
+    from srgan_tpu.configs import load_config_for_ckpt, save_config
+
+    cfg = tiny_cfg()
+    save_config(cfg, str(tmp_path))
+    with pytest.warns(UserWarning, match="differ"):
+        got = load_config_for_ckpt(str(tmp_path), "03_srgan_nopretraining")
+    assert got == cfg
+    # no warning when no preset is passed
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert load_config_for_ckpt(str(tmp_path)) == cfg

@@ -98,3 +98,81 @@ def test_http_server_translate_and_encode(tmp_path):
             assert r.read() == b"ok"
     finally:
         server.shutdown()
+
+
+def test_translator_unversioned_checkpoint_refused(tmp_path):
+    """Serving from a pre-versioning checkpoint (possibly the rounds-1-2
+    unflipped ConvTranspose layout) must fail actionably, not silently
+    compute rotated up-conv kernels (VERDICT r3 item 3)."""
+    import os
+
+    import pytest
+
+    cfg = _make_ckpt(tmp_path)
+    os.remove(str(tmp_path / "ckpt" / "format.json"))
+    with pytest.raises(ValueError, match="format.json"):
+        Translator(cfg, str(tmp_path / "ckpt"), step=0, warmup=False)
+    # explicit layout assertion unblocks it
+    tr = Translator(cfg, str(tmp_path / "ckpt"), step=0, warmup=False,
+                    unversioned="preflipped")
+    assert tr.state is not None
+
+
+def test_translator_mismatched_config_clear_error(tmp_path):
+    """A checkpoint saved under a different architecture must raise a clear
+    config-mismatch message, not an opaque pytree exception."""
+    import dataclasses
+
+    import pytest
+
+    cfg = _make_ckpt(tmp_path)
+    other = dataclasses.replace(
+        cfg, name="serve_other",
+        model=dataclasses.replace(cfg.model, g_nch=16))
+    with pytest.raises(ValueError, match="does not match the serving config"):
+        Translator(other, str(tmp_path / "ckpt"), step=0, warmup=False)
+
+
+def test_http_server_concurrent_requests(tmp_path):
+    """Two parallel /translate posts through ThreadingHTTPServer: jit
+    dispatch must be thread-safe and both responses correct (VERDICT r3
+    serving robustness)."""
+    from http.server import ThreadingHTTPServer
+
+    cfg = _make_ckpt(tmp_path)
+    tr = Translator(cfg, str(tmp_path / "ckpt"), step=0,
+                    warm_batch_sizes=(4,))
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(tr))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    rng = np.random.default_rng(2)
+    imgs = rng.uniform(-1, 1, (4, HW, HW, 3)).astype(np.float32)
+    lat = rng.standard_normal((4, cfg.model.ndim)).astype(np.float32)
+    results, errors = {}, []
+
+    def post(i, target_cls):
+        try:
+            body = encode_npz(images=imgs, latent=lat,
+                              target_labels=np.full(4, target_cls, np.int64))
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/translate", body)
+            results[i] = decode_npz(urllib.request.urlopen(req).read())
+        except Exception as e:   # surface in the main thread
+            errors.append(e)
+
+    try:
+        threads = [threading.Thread(target=post, args=(i, i % 4))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors, errors
+        assert len(results) == 4
+        # same latent+target => identical output regardless of concurrency
+        ref0, _ = tr.translate(imgs, np.full(4, 0, np.int64), latent=lat)
+        np.testing.assert_allclose(results[0]["fakes"], ref0, atol=1e-5)
+        # different targets produce different translations
+        assert not np.allclose(results[0]["fakes"], results[1]["fakes"])
+    finally:
+        server.shutdown()

@@ -144,3 +144,51 @@ def test_per_domain_sharded_matches_single_device():
                     jax.tree.leaves(n_mesh.d_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=1e-5)
+
+
+def test_epoch_loop_under_mesh_matches_single_device(tmp_path):
+    """Round-4 closure of VERDICT item 2: the FULL epoch loop — loader ->
+    prefetch_to_device(mesh) -> multi-step training -> orbax save ->
+    --resume — runs under an 8-device mesh and its loss trajectory matches
+    the identical single-device run step-for-step.  The reference's only
+    parallelism IS its training loop (nn.DataParallel, nb01 cell 20)."""
+    import json
+
+    from srgan_tpu.training.loop import train_gan
+
+    model = ModelConfig(image_size=32, g_nch=8, g_res_num=1, d_nch=8,
+                        d_num_cls=2, e_nch=8, e_num_cls=2)
+    train = TrainConfig(batch_size=8, unrolled_k=1, encoded_feature="mu",
+                        train_num=8, val_num=0, test_num=2)
+    cfg = ExperimentConfig(name="mesh_loop", model=model, train=train,
+                           loss=LossWeights.proposed_kl(cls=1.0),
+                           trainer="srgan")
+    data = str(tmp_path / "data")
+
+    def metrics(out):
+        return [json.loads(l) for l in open(out + "/metrics.jsonl")]
+
+    mesh_out = str(tmp_path / "mesh")
+    one_out = str(tmp_path / "one")
+    train_gan(cfg, mesh_out, mesh=make_mesh(), epochs=2, sample_grids=False,
+              synthetic_per_class=10, echo=False,
+              synthetic_dir_override=data)
+    train_gan(cfg, one_out, mesh=None, epochs=2, sample_grids=False,
+              synthetic_per_class=10, echo=False,
+              synthetic_dir_override=data)
+    m_mesh, m_one = metrics(mesh_out), metrics(one_out)
+    assert len(m_mesh) == len(m_one) >= 2
+    for a, b in zip(m_mesh, m_one):
+        assert a["step"] == b["step"]
+        for k in ("errG", "errD", "errE"):
+            assert a[k] == pytest.approx(b[k], rel=2e-2, abs=1e-4), (
+                f"step {a['step']} {k}: mesh={a[k]} single={b[k]}")
+
+    # resume under the mesh from the orbax checkpoint
+    import os
+    assert os.path.isdir(os.path.join(mesh_out, "ckpt", "step_2"))
+    _, state = train_gan(cfg, mesh_out, mesh=make_mesh(), epochs=3,
+                         sample_grids=False, synthetic_per_class=10,
+                         echo=False, resume=True,
+                         synthetic_dir_override=data)
+    assert int(state.step) >= 3

@@ -51,8 +51,8 @@ def tree_bytes(tree) -> int:
     import jax
     import numpy as np
 
-    return sum(np.prod(np.shape(x)) * np.dtype(x.dtype).itemsize
-               for x in jax.tree.leaves(tree))
+    return int(sum(np.prod(np.shape(x)) * np.dtype(x.dtype).itemsize
+                   for x in jax.tree.leaves(tree)))
 
 
 def analytic_budget(cfg, step_time_s: float, images_per_sec: float,

@@ -214,3 +214,17 @@ def test_bench_serving_cli_help():
     """Wiring smoke for the serving benchmark (full runs need the chip)."""
     proc = _run("bench_serving.py", "--help", timeout=120)
     assert "--batch-sizes" in proc.stdout and "--compute-dtype" in proc.stdout
+
+
+def test_analyze_scaling_cli(tmp_path):
+    """Scaling-analysis tool (round 4): analytic collective budget runs and
+    emits the efficiency predictions (HLO check skipped — it compiles the
+    sharded step and is exercised by the committed evidence artifact)."""
+    out = str(tmp_path / "scaling.json")
+    _run("analyze_scaling.py", "--out", out, "--skip-hlo", timeout=900)
+    rep = json.load(open(out))
+    f = rep["flagship"]
+    assert f["total_allreduce_bytes_per_step"] > f["param_bytes"]["G"]
+    for pred in f["predictions"].values():
+        assert 0 < pred["efficiency_no_overlap"] <= 1
+        assert pred["predicted_images_per_sec_8chip"] > 0

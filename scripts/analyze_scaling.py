@@ -123,31 +123,56 @@ b = shard_batch({{
     "image": jnp.asarray(r.uniform(-1, 1, (batch, hw, hw, 3)).astype(np.float32)),
     "source_label": jnp.asarray(src),
     "target_label": jnp.asarray((src + r.integers(1, 4, batch)) % 4)}}, mesh)
-lowered = t._jit_step.lower(state, b, jax.random.PRNGKey(1))
+lr_g, lr_d, lr_e = t.lr_at(0)
+lowered = t._jit_step.lower(state, b["image"], b["source_label"],
+                            b["target_label"], jax.random.PRNGKey(1),
+                            jnp.float32(lr_g), jnp.float32(lr_d),
+                            jnp.float32(lr_e))
 txt = lowered.compile().as_text()
 sys.stdout.write("HLO_BEGIN\\n" + txt + "\\nHLO_END\\n")
 """
 
 
+def _shape_bytes(dt: str, dims: str) -> int:
+    n = 1
+    for d in dims.split(","):
+        if d:
+            n *= int(d)
+    return n * _DTYPE_BYTES.get(dt, 4)
+
+
 def hlo_allreduce_bytes(hlo_text: str) -> dict:
-    """Sum operand bytes of every all-reduce in optimized HLO."""
-    total, count, per_op = 0, 0, []
-    # result type(s): "f32[3,3,8,8]{...}" or a tuple "(f32[...], f32[...])"
+    """Sum operand bytes of every all-reduce in optimized HLO, attributed
+    to the module producing each gradient (via op_name metadata on the
+    tuple elements)."""
+    total, count = 0, 0
+    by_module = {"G": 0, "D": 0, "E": 0, "other": 0}
+
+    def module_of(op_name: str) -> str:
+        if "SingleGenerator" in op_name:
+            return "G"
+        if "Discriminator" in op_name:
+            return "D"
+        if "Encoder" in op_name:
+            return "E"
+        return "other"
+
+    # tuple elements carry the metadata: attribute per element
     for m in re.finditer(
-            r"=\s*(\([^)]*\)|\S+)\s+all-reduce(?:-start)?\(", hlo_text):
-        shapes = re.findall(r"(\w+)\[([0-9,]*)\]", m.group(1))
-        op_bytes = 0
-        for dt, dims in shapes:
-            n = 1
-            for d in dims.split(","):
-                if d:
-                    n *= int(d)
-            op_bytes += n * _DTYPE_BYTES.get(dt, 4)
-        total += op_bytes
-        count += 1
-        per_op.append(op_bytes)
+            r"=\s*(\w+)\[([0-9,]*)\][^=]*get-tuple-element\(%all-reduce"
+            r"[^)]*\).*?op_name=\"([^\"]+)\"", hlo_text):
+        dt, dims, op = m.groups()
+        by_module[module_of(op)] += _shape_bytes(dt, dims)
+    # plain (non-tuple) all-reduces carry their own metadata
+    for m in re.finditer(
+            r"%all-reduce[.\d]* = (\w+)\[([0-9,]*)\][^(]*all-reduce\("
+            r".*?op_name=\"([^\"]+)\"", hlo_text):
+        dt, dims, op = m.groups()
+        by_module[module_of(op)] += _shape_bytes(dt, dims)
+    count = len(re.findall(r"%all-reduce[.\d]* =", hlo_text))
+    total = sum(by_module.values())
     return {"num_all_reduces": count, "total_bytes": int(total),
-            "bytes_per_op": sorted(per_op, reverse=True)[:20]}
+            "bytes_by_module": by_module}
 
 
 def run_hlo_check(n: int, hw: int, batch: int, k: int, geom: dict) -> dict:
@@ -161,6 +186,9 @@ def run_hlo_check(n: int, hw: int, batch: int, k: int, geom: dict) -> dict:
              if not f.startswith("--xla_force_host_platform_device_count")]
     flags.append(f"--xla_force_host_platform_device_count={n}")
     env["XLA_FLAGS"] = " ".join(flags)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(os.path.dirname(os.path.dirname(
+                       os.path.abspath(__file__))), "tests", ".jax_cache"))
     code = _HLO_CHILD.format(hw=hw, batch=batch, k=k, n=n, **geom)
     res = subprocess.run([sys.executable, "-c", code], env=env,
                          capture_output=True, text=True, timeout=3600)
@@ -213,6 +241,40 @@ def main():
                 hlo["total_bytes"]
                 / max(expect["total_allreduce_bytes_per_step"], 1),
         }
+        # measured per-module multipliers: XLA all-reduces each G call
+        # site's PARTIAL param-cotangents separately (the step applies G
+        # ~8x: k fake gens + cycle/idt + phase-2 reg/idt-reg), while D
+        # grads match the ideal k x |D| exactly and E ~1 x |E|.
+        # Extrapolate flagship bytes with those multipliers (the G call-
+        # site count is k-independent on the D side only).
+        small_sizes = expect["param_bytes"]
+        mult = {
+            "G": hlo["bytes_by_module"]["G"] / small_sizes["G"],
+            "D_per_update": hlo["bytes_by_module"]["D"]
+                / (2 * small_sizes["D"]),
+            "E": hlo["bytes_by_module"]["E"] / small_sizes["E"],
+        }
+        flag = report["flagship"]
+        measured_total = (
+            mult["G"] * flag["param_bytes"]["G"]
+            + mult["D_per_update"] * flag["unrolled_k"]
+            * flag["param_bytes"]["D"]
+            + mult["E"] * flag["param_bytes"]["E"]
+            + flag["loss_stat_psum_bytes_per_step"])
+        report["hlo_check"]["measured_multipliers"] = mult
+        report["flagship_hlo_extrapolated"] = {
+            "total_allreduce_bytes_per_step": int(measured_total),
+            "predictions": {}}
+        wire = 2 * (args.n_chips - 1) / args.n_chips * measured_total
+        for name, bw in ICI_BYTES_PER_SEC.items():
+            t_ar = wire / bw
+            eff = step_time / (step_time + t_ar)
+            report["flagship_hlo_extrapolated"]["predictions"][name] = {
+                "allreduce_time_s": t_ar,
+                "efficiency_no_overlap": eff,
+                "predicted_images_per_sec_8chip":
+                    args.images_per_sec * args.n_chips * eff,
+            }
 
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     with open(args.out, "w") as f:

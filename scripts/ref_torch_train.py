@@ -103,6 +103,10 @@ def main():
     ap.add_argument("--nch", type=int, default=16,
                     help="base width for G, D and E (notebook full width: 64)")
     ap.add_argument("--res-num", type=int, default=2)
+    ap.add_argument("--d-num-cls", type=int, default=4,
+                    help="D trunk depth; use 3 at 64px so the reference's "
+                         "hard-coded 8x8/4x4 class-head kernels fit "
+                         "(model.py:322-334)")
     ap.add_argument("--ndim", type=int, default=8)
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--epochs", type=int, default=60)
@@ -141,7 +145,8 @@ def main():
     netG = ref.model.SingleGenerator(3, args.nch, 2, 2, args.res_num,
                                      "instance", num_con=n_classes + args.ndim)
     netG.apply(ref.util.weights_init)
-    netD = ref.model.SingleDiscriminator_solo_multi(3, args.nch, 2, 4,
+    netD = ref.model.SingleDiscriminator_solo_multi(3, args.nch, 2,
+                                                    args.d_num_cls,
                                                     "instance", n_classes)
     netD.apply(ref.util.weights_init)
     netE = ref.model.Encoder(3, args.ndim, args.nch, 4, "instance",

@@ -129,7 +129,8 @@ def main():
         cm = np.zeros((n, n), np.int64)
         np.add.at(cm, (labels, preds), 1)
         fig = plot_confusion_matrix(
-            cm, LABEL_DESCRIPTION[:n], title="Encoder classifier (test)",
+            cm, [LABEL_DESCRIPTION[i] for i in range(n)],
+            title="Encoder classifier (test)",
             save_path=os.path.join(args.out, "confusion_matrix.png"))
         import matplotlib.pyplot as plt
         plt.close(fig)

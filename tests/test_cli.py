@@ -228,3 +228,20 @@ def test_analyze_scaling_cli(tmp_path):
     for pred in f["predictions"].values():
         assert 0 < pred["efficiency_no_overlap"] <= 1
         assert pred["predicted_images_per_sec_8chip"] > 0
+
+
+def test_pretrain_classifier_cli(tmp_path):
+    """nb04 job as a CLI (round 4): geometry flags + the test-set accuracy
+    and confusion-matrix evidence artifacts."""
+    out = str(tmp_path / "clf")
+    _run("pretrain_classifier.py", "--synthetic",
+         "--synthetic-per-class", "12", "--train-num", "8", "--val-num", "2",
+         "--test-num", "2", "--batch-size", "8", "--epochs", "2",
+         "--image-size", "64", "--e-nch", "8", "--e-num-cls", "2",
+         "--out", out, timeout=900)
+    assert os.path.isdir(os.path.join(out, "classifier_best"))
+    assert os.path.exists(os.path.join(out, "confusion_matrix.png"))
+    m = json.load(open(os.path.join(out, "test_metrics.json")))
+    assert 0.0 <= m["test_accuracy"] <= 1.0
+    assert np.asarray(m["confusion_matrix"]).shape == (4, 4)
+    assert m["test_n"] == 8

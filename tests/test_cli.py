@@ -245,3 +245,14 @@ def test_pretrain_classifier_cli(tmp_path):
     assert 0.0 <= m["test_accuracy"] <= 1.0
     assert np.asarray(m["confusion_matrix"]).shape == (4, 4)
     assert m["test_n"] == 8
+
+
+def test_finetune_vgg_cli(tmp_path):
+    """nb B job as a CLI: tiny VGG19-BN fine-tune producing the vgg-CelebA
+    extractor checkpoint (round 4 — used by the PRDC evidence pipeline)."""
+    out = str(tmp_path / "vgg")
+    _run("finetune_vgg.py", "--synthetic",
+         "--train-num", "4", "--val-num", "2", "--batch-size", "4",
+         "--epochs", "1", "--val-every", "1", "--out", out, timeout=900)
+    assert os.path.isdir(os.path.join(out, "vgg_celeba_best"))
+    assert os.path.exists(os.path.join(out, "metrics.jsonl"))

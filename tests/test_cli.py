@@ -256,3 +256,19 @@ def test_finetune_vgg_cli(tmp_path):
          "--epochs", "1", "--val-every", "1", "--out", out, timeout=900)
     assert os.path.isdir(os.path.join(out, "vgg_celeba_best"))
     assert os.path.exists(os.path.join(out, "metrics.jsonl"))
+
+
+def test_compare_seed_equilibria_cli(tmp_path):
+    """Round-4 multi-seed aggregator: pair-set extraction + identity report
+    over the committed round-3 seed-0 artifacts."""
+    out = str(tmp_path / "seed_eq.json")
+    _run("compare_seed_equilibria.py",
+         "--pair", "0", "docs/evidence/summary_match_torch.json",
+         "docs/evidence/summary_match_jax.json",
+         "--out", out, timeout=120)
+    rep = json.load(open(out))
+    assert rep["n_seeds"] == 1
+    s0 = rep["seeds"]["0"]
+    assert s0["trained"]["pairs_identical"]
+    assert s0["trained"]["torch_pairs"] == ["0->2", "1->3"]
+    assert rep["max_trained_acc_delta"] == 0.0

@@ -174,8 +174,47 @@ def _flagship_cfg():
     return cfg
 
 
+def _probe_backend(timeout_s: float) -> str | None:
+    """Bounded device probe in a subprocess.
+
+    On the tunneled 'axon' platform a dead pool makes device init HANG
+    (not raise), which would wedge the driver's bench invocation forever.
+    Returns None when the backend answers within ``timeout_s``, else an
+    error string.  BENCH_PROBE_TIMEOUT overrides the bound.
+    """
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp\n"
+            "x = jnp.ones((8, 8))\n"
+            "assert float((x @ x).sum()) == 512.0\n"
+            "print('BACKEND', jax.devices()[0].platform)\n")
+    try:
+        proc = subprocess.run([sys.executable, "-c", code], text=True,
+                              capture_output=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return f"backend unreachable (device probe hung > {timeout_s:.0f}s)"
+    if proc.returncode != 0:
+        return f"device probe failed: {proc.stderr[-300:]}"
+    return None
+
+
 def main():
     run_all = "--all" in sys.argv
+
+    # default bound: relay warm-up alone is ~230 s per process (CLAUDE.md)
+    err = _probe_backend(float(os.environ.get("BENCH_PROBE_TIMEOUT", "600")))
+    if err is not None:
+        # one honest JSON line instead of a hang; nonzero exit so the
+        # driver records a failed bench, not a zero-throughput regression
+        print(json.dumps({
+            "metric": "srgan_train_images_per_sec_per_chip",
+            "value": None, "unit": "images/sec", "vs_baseline": None,
+            "error": err,
+        }))
+        sys.exit(1)
+    if os.environ.get("BENCH_PROBE_ONLY"):  # smoke-test hook
+        print(json.dumps({"probe": "ok"}))
+        return
 
     flag = _measure(_flagship_cfg(), "srgan_full_b128")
 

@@ -272,3 +272,22 @@ def test_compare_seed_equilibria_cli(tmp_path):
     assert s0["trained"]["pairs_identical"]
     assert s0["trained"]["torch_pairs"] == ["0->2", "1->3"]
     assert rep["max_trained_acc_delta"] == 0.0
+
+
+def test_bench_probe_paths():
+    """bench.py backend probe (round 4): a healthy backend reports probe-ok;
+    an unreachable one yields one error-JSON line + nonzero exit instead of
+    hanging the driver."""
+    env = _env()
+    env["BENCH_PROBE_ONLY"] = "1"
+    ok = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                        env=env, capture_output=True, text=True, timeout=300)
+    assert ok.returncode == 0, ok.stderr[-2000:]
+    assert json.loads(ok.stdout.strip().splitlines()[-1]) == {"probe": "ok"}
+
+    env["BENCH_PROBE_TIMEOUT"] = "0.2"  # forces the timeout branch
+    bad = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                         env=env, capture_output=True, text=True, timeout=300)
+    assert bad.returncode == 1
+    line = json.loads(bad.stdout.strip().splitlines()[-1])
+    assert line["value"] is None and "unreachable" in line["error"]

@@ -291,3 +291,29 @@ def test_bench_probe_paths():
     assert bad.returncode == 1
     line = json.loads(bad.stdout.strip().splitlines()[-1])
     assert line["value"] is None and "unreachable" in line["error"]
+
+
+def test_make_fixture_cli(tmp_path):
+    """make_fixture.py (round 4): named recipes are deterministic — the same
+    recipe twice yields byte-identical fixtures, and fixture.json records
+    the generation parameters (the evidence-reproducibility contract)."""
+    import hashlib
+    import pathlib
+
+    def digest(d):
+        h = hashlib.sha256()
+        for p in sorted(pathlib.Path(d).glob("img/*.png")):
+            h.update(p.read_bytes())
+        h.update((pathlib.Path(d) / "list_attr_celeba.txt").read_bytes())
+        return h.hexdigest()
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _run("make_fixture.py", "--out", a, "--recipe", "boost",
+         "--n-per-class", "6")
+    _run("make_fixture.py", "--out", b, "--recipe", "boost",
+         "--n-per-class", "6")
+    assert digest(a) == digest(b)
+    rec = json.load(open(os.path.join(a, "fixture.json")))
+    assert rec["recipe"] == "boost"
+    assert rec["params"]["n_per_class"] == 6          # CLI override recorded
+    assert rec["params"]["smiling_boost"] == 40.0     # recipe value recorded

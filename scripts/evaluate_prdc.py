@@ -56,6 +56,10 @@ def main():
     ap.add_argument("--repeats", type=int, default=1)
     ap.add_argument("--nearest-k", type=int, default=5)
     ap.add_argument("--test-num", type=int, default=100)
+    ap.add_argument("--init-baseline", action="store_true",
+                    help="evaluate a FRESH-INIT model of the checkpoint's "
+                         "config instead of restoring weights (the untrained "
+                         "reference point for nb06-style tables)")
     args = ap.parse_args()
 
     cfg = load_config_for_ckpt(args.ckpt, args.preset)
@@ -78,7 +82,10 @@ def main():
     # build the restore target with the same structure
     target = jax.device_get(trainer.init_state(
         jax.random.PRNGKey(0), freeze_pretrained=cfg.pretrained_encoder))
-    state = restore_checkpoint(args.ckpt, target, step=args.ckpt_step)
+    if args.init_baseline:
+        state = target   # untrained: same config/seed as translation_oracle's
+    else:                # fresh-init comparison point
+        state = restore_checkpoint(args.ckpt, target, step=args.ckpt_step)
 
     evaluators = {}
     for fe in args.feature_extractors:

@@ -107,6 +107,17 @@ def test_evaluate_then_compare_cli(trained_run):
                 "--fe", "vgg-initialization")
     assert "coverage" in proc.stdout
 
+    # --init-baseline: same config, FRESH weights (the untrained reference
+    # point in the nb06-style capstone tables) — must not restore the ckpt
+    ipkl = str(root / "prdc_init.pkl")
+    _run("evaluate_prdc.py", "--ckpt", os.path.join(run, "ckpt"),
+         "--init-baseline", "--synthetic",
+         "--feature-extractors", "vgg-initialization",
+         "--num-samples", "8", "--nearest-k", "3", "--test-num", "8",
+         "--out", ipkl, timeout=900)
+    iv = pickle.load(open(ipkl, "rb"))["vgg-initialization"][0][1]["coverage"]
+    assert len(iv) == 1 and np.isfinite(iv[0])
+
 
 def test_export_import_roundtrip_cli(trained_run):
     root, run = trained_run

@@ -41,7 +41,9 @@ except ImportError:  # running from a bare checkout
 from srgan_tpu.utils.torch14 import Adam14
 
 REF_PYFILES = "/root/reference/pyfiles"
-B, K, HW, NDIM, LR = 8, 2, 128, 8, 1e-4  # the dynamics-study geometry
+# the dynamics-study geometry (HW stays 128: the reference solo-D head is
+# hard-wired to 128px/num_cls=4, docs/PARITY.md quirk ledger)
+B, K, HW, NDIM, LR = 8, 2, 128, 8, 1e-4
 
 
 def load_ref():
@@ -60,13 +62,13 @@ def load_ref():
     return types.SimpleNamespace(model=ref_model, trainer=ref_trainer)
 
 
-def make_batches(n_steps, seed=7):
+def make_batches(n_steps, b=B, seed=7):
     rng = np.random.default_rng(seed)
     batches = []
     for _ in range(n_steps):
-        src = rng.integers(0, 4, B)
-        tgt = (src + rng.integers(1, 4, B)) % 4
-        img = rng.uniform(-1, 1, (B, HW, HW, 3)).astype(np.float32)
+        src = rng.integers(0, 4, b)
+        tgt = (src + rng.integers(1, 4, b)) % 4
+        img = rng.uniform(-1, 1, (b, HW, HW, 3)).astype(np.float32)
         x = torch.from_numpy(np.transpose(img, (0, 3, 1, 2)).copy())
         label = {"source": torch.from_numpy(src.astype(np.int64)),
                  "target": torch.from_numpy(tgt.astype(np.int64))}
@@ -74,15 +76,15 @@ def make_batches(n_steps, seed=7):
     return batches
 
 
-def run_reference(ref, batches, reg, idt_reg, eps=0.0):
+def run_reference(ref, batches, reg, idt_reg, eps=0.0, nch=16, b=B):
     """One N-step run of the reference trainer; eps perturbs ONE G weight."""
     torch.manual_seed(0)  # identical init across runs
     lbd = {"class": 1, "cycle": 5, "idt": 5, "reg": reg, "idt_reg": idt_reg,
            "KL": 0, "batch_KL": 10, "corr_enc": 100, "hist": 100}
-    netG = ref.model.SingleGenerator(3, 16, 2, 2, 2, "instance", num_con=12)
-    netD = ref.model.SingleDiscriminator_solo_multi(3, 16, 2, 4,
+    netG = ref.model.SingleGenerator(3, nch, 2, 2, 2, "instance", num_con=12)
+    netD = ref.model.SingleDiscriminator_solo_multi(3, nch, 2, 4,
                                                     "instance", 4)
-    netE = ref.model.Encoder(3, 8, 16, 4, "instance", 4, "cpu")
+    netE = ref.model.Encoder(3, 8, nch, 4, "instance", 4, "cpu")
     if eps:
         with torch.no_grad():
             next(netG.parameters()).view(-1)[0] += eps
@@ -91,7 +93,7 @@ def run_reference(ref, batches, reg, idt_reg, eps=0.0):
     sg = ref.trainer.SRGAN_training(
         [netG, netD, netE], [optG, None, None],
         [torch.nn.MSELoss(), torch.nn.MSELoss()], lbd, K, "cpu",
-        np.eye(4), batch_size=B, encoded_feature="mu", ndim=NDIM)
+        np.eye(4), batch_size=b, encoded_feature="mu", ndim=NDIM)
     sg.opt_sche_initialization()
 
     torch.manual_seed(1234)  # identical in-training draw stream across runs
@@ -109,6 +111,9 @@ def main():
     ap.add_argument("--eps", type=float, default=1e-6)
     ap.add_argument("--reg", type=float, default=0.5)
     ap.add_argument("--idt-reg", type=float, default=0.5)
+    ap.add_argument("--nch", type=int, default=16,
+                    help="model width (tiny smoke runs use 8)")
+    ap.add_argument("--batch", type=int, default=B)
     ap.add_argument("--out",
                     default="docs/evidence/chaos_control_r04.json")
     ap.add_argument("--compare",
@@ -118,11 +123,13 @@ def main():
     args = ap.parse_args()
 
     ref = load_ref()
-    batches = make_batches(args.steps)
+    batches = make_batches(args.steps, b=args.batch)
     print(f"run A (baseline, {args.steps} steps) ...", flush=True)
-    ta = run_reference(ref, batches, args.reg, args.idt_reg, eps=0.0)
+    ta = run_reference(ref, batches, args.reg, args.idt_reg, eps=0.0,
+                       nch=args.nch, b=args.batch)
     print("run B (one G weight += %g) ..." % args.eps, flush=True)
-    tb = run_reference(ref, batches, args.reg, args.idt_reg, eps=args.eps)
+    tb = run_reference(ref, batches, args.reg, args.idt_reg, eps=args.eps,
+                       nch=args.nch, b=args.batch)
 
     per_step = []
     for i, (ra, rb) in enumerate(zip(ta, tb)):
@@ -138,7 +145,8 @@ def main():
                 "as the committed torch-vs-jax N=50 study",
         "eps": args.eps, "n_steps": args.steps,
         "reg": args.reg, "idt_reg": args.idt_reg,
-        "geometry": {"B": B, "K": K, "hw": HW, "nch": 16, "ndim": NDIM},
+        "geometry": {"B": args.batch, "K": K, "hw": HW, "nch": args.nch,
+                     "ndim": NDIM},
         "final_separation": {m: per_step[-1][f"sep_{m}"]
                              for m in ("errD", "errE", "errG")},
         "max_separation": {m: max(r[f"sep_{m}"] for r in per_step)

@@ -203,6 +203,24 @@ def test_ref_torch_train_cli(tmp_path):
     assert all(0.0 <= v <= 1.0 for v in summary["trained"]["pairs"].values())
 
 
+def test_chaos_control_cli(tmp_path):
+    """scripts/chaos_control.py: the reference torch trainer vs an
+    eps-perturbed copy of itself must run and report finite separations
+    (tiny width, 1 step; the evidence run is 50 steps at nch 16)."""
+    if not os.path.isdir("/root/reference/pyfiles"):
+        pytest.skip("reference checkout not available")
+    out = str(tmp_path / "chaos.json")
+    _run("chaos_control.py", "--steps", "1", "--nch", "8", "--batch", "4",
+         "--out", out, "--compare", "", timeout=900)
+    rep = json.load(open(out))
+    assert rep["n_steps"] == 1 and rep["eps"] == 1e-6
+    seps = rep["per_step"][0]
+    assert all(np.isfinite(seps[f"sep_{m}"])
+               for m in ("errD", "errE", "errG"))
+    # eps=1e-6 cannot blow up in a single step
+    assert seps["sep_errG"] < 1e-2
+
+
 def test_analyze_trace_cli(tmp_path):
     """scripts/analyze_trace.py parses the committed round-3 trace artifact
     and attributes device time through a (stub) optimized-HLO op_name map."""

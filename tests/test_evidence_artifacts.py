@@ -1,0 +1,127 @@
+"""Integrity checks over the committed evidence artifacts.
+
+Every quantitative claim in docs/{PARITY,PERF,TRAINING_EVIDENCE}.md points at
+a JSON artifact under docs/evidence/.  These tests pin each artifact's
+structural invariants so a regeneration (the queue scripts rewrite them in
+place) cannot silently commit a malformed or claim-contradicting file.
+
+Artifacts produced later in a round (the PRDC capstone tables, per-seed
+summaries) are skipped while absent — the test suite stays green mid-queue —
+but once present they must satisfy their invariants.
+"""
+
+import json
+import math
+import os
+
+import pytest
+
+EV = os.path.join(os.path.dirname(__file__), "..", "docs", "evidence")
+
+
+def _load(name):
+    path = os.path.join(EV, name)
+    if not os.path.exists(path):
+        pytest.skip(f"{name} not produced yet")
+    with open(path) as f:
+        return json.load(f)
+
+
+def _finite(x):
+    return isinstance(x, (int, float)) and math.isfinite(x)
+
+
+def test_chaos_control():
+    """docs/PARITY.md: 1e-6 perturbation amplifies ~4 decades over 50 steps."""
+    rep = _load("chaos_control_r04.json")
+    assert rep["eps"] == 1e-6 and rep["n_steps"] == 50
+    steps = rep["per_step"]
+    assert len(steps) == 50
+    assert all(_finite(s[f"sep_{m}"]) for s in steps
+               for m in ("errD", "errE", "errG"))
+    # exponential amplification: late-window separation must exceed the
+    # early-window one by >= 2 decades for at least one loss channel
+    early = max(max(s[f"sep_{m}"] for m in ("errD", "errE", "errG"))
+                for s in steps[:5])
+    late = max(max(s[f"sep_{m}"] for m in ("errD", "errE", "errG"))
+               for s in steps[-10:])
+    assert late > 100 * max(early, 1e-12)
+
+
+def test_classifier_pretraining():
+    """docs/TRAINING_EVIDENCE.md: nb04 job reaches perfect held-out acc."""
+    rep = _load("clf_pretrain_r04.json")
+    assert rep["best_val_accuracy"] >= 0.99
+    assert rep["test_accuracy"] >= 0.99
+    cm = rep["confusion_matrix"]
+    n = len(cm)
+    off = sum(cm[i][j] for i in range(n) for j in range(n) if i != j)
+    assert off / max(1, sum(map(sum, cm))) <= 0.01
+
+
+def test_scaling_analysis():
+    """docs/PERF.md: collective budget predicts >=95% 8-chip efficiency."""
+    rep = _load("scaling_analysis.json")
+    flag = rep["flagship"]
+    assert flag["total_allreduce_bytes_per_step"] > 0
+    for pred in flag["predictions"].values():
+        assert 0.9 <= pred["efficiency_no_overlap"] <= 1.0
+    hlo = rep["hlo_check"]["hlo"]
+    assert hlo["num_all_reduces"] > 0 and hlo["total_bytes"] > 0
+
+
+def test_trainer_dynamics_curves():
+    """docs/PARITY.md: N=20 strict tracking, N=50 sub-linear drift."""
+    for name, n in (("trainer_dynamics_r03.json", 20),
+                    ("trainer_dynamics_r03_n50.json", 50)):
+        rep = _load(name)
+        for arm_name in ("strict_no_phase2", "full_stack"):
+            assert len(rep[arm_name]["trajectory"]) == n
+
+
+def test_seed_equilibria():
+    """docs/TRAINING_EVIDENCE.md: every compared seed must reach the
+    identical trained pair-set across frameworks."""
+    rep = _load("seed_equilibria_r04.json")
+    assert rep["n_seeds"] >= 2
+    assert rep["all_trained_pairsets_identical"] is True
+    assert rep["max_trained_acc_delta"] <= 0.02
+
+
+def test_prdc_capstone_tables():
+    """VERDICT r3 item 1 done-criterion: trained models beat the untrained
+    init on mean translation-pair precision AND coverage for at least one
+    real extractor."""
+    rep = _load("prdc_comparison_r04.json")
+    models = rep["models"]
+    assert "init" in models
+    trained = [m for m in models if m != "init"]
+    assert trained
+    for name in trained:
+        better = []
+        for fe in models[name]:
+            for metric in ("precision", "coverage"):
+                init_v = models["init"][fe][metric]["mean_translation_pairs"]
+                t_v = models[name][fe][metric]["mean_translation_pairs"]
+                better.append(t_v > init_v)
+        assert any(better), f"{name} never beats init on precision/coverage"
+
+
+def test_capstone_oracle_summaries():
+    """The capstone runs must also clear the oracle-accuracy bar: training
+    moved accuracy above the untrained init."""
+    for name in ("summary_cap03_e120.json", "summary_cap05_e120.json"):
+        rep = _load(name)
+        assert rep["trained"]["acc"] > rep["init"]["acc"]
+
+
+def test_summary_match_artifacts_consistent():
+    """Cross-framework equilibrium summaries carry the same schema and
+    finite accuracies."""
+    for name in ("summary_match_torch.json", "summary_match_jax.json",
+                 "summary_match_torch_s1.json"):
+        rep = _load(name)
+        for phase in ("init", "trained"):
+            assert _finite(rep[phase]["acc"])
+            assert rep[phase]["pairs"], f"{name} {phase} has no pair scores"
+            assert all(0.0 <= v <= 1.0 for v in rep[phase]["pairs"].values())

@@ -36,7 +36,7 @@ stage() {
   local name=$1; shift
   if [ -f "runs/.done_$name" ]; then echo "[$name] already done, skip"; return 0; fi
   echo "[$name] start $(date -u '+%F %T')"
-  if timeout 7200 "$@" > "runs/logs/$name.log" 2>&1; then
+  if timeout "${STAGE_TIMEOUT:-7200}" "$@" > "runs/logs/$name.log" 2>&1; then
     touch "runs/.done_$name"
     echo "[$name] OK $(date -u '+%F %T')"
   else
@@ -56,15 +56,19 @@ stage S1 python scripts/pretrain_classifier.py --out runs/clf \
 
 # S2/S3: both capstone presets at full model width (the preset default),
 # batch 32 (the round-2 preset-matrix geometry -> warm service-side compile
-# cache), 120 epochs on the structured fixture.
+# cache), 120 epochs on the structured fixture.  --resume + the raised
+# timeout make a SIGTERM'd stage cost one re-invoke, not a restart (the
+# first S2 attempt hit the 7200 s ceiling at epoch 105/120).
+STAGE_TIMEOUT=10800
 stage S2 python scripts/train.py --preset 03_srgan_nopretraining --out runs/cap03 \
   --data-root "$STRUCT_IMG" --attr-file "$STRUCT_ATTR" \
-  --epochs 120 --batch-size 32 --train-num 200 --test-num 64
+  --epochs 120 --batch-size 32 --train-num 200 --test-num 64 --resume
 
 stage S3 python scripts/train.py --preset 05_srgan_pretrained --out runs/cap05 \
   --data-root "$STRUCT_IMG" --attr-file "$STRUCT_ATTR" \
   --classifier-ckpt runs/clf/classifier_best \
-  --epochs 120 --batch-size 32 --train-num 200 --test-num 64
+  --epochs 120 --batch-size 32 --train-num 200 --test-num 64 --resume
+STAGE_TIMEOUT=7200
 
 # S4: the vgg-CelebA extractor, fine-tuned from scratch on the fixture
 # (zero egress -> no ImageNet .pth; reference evaluation.py:56 fine-tunes
@@ -103,7 +107,7 @@ stage S7b python scripts/translation_oracle.py --ckpt runs/cap05/ckpt \
 stage S8 python scripts/train.py --preset 03_srgan_nopretraining --out runs/seed1 \
   --data-root "$BOOST_IMG" --attr-file "$BOOST_ATTR" \
   --epochs 60 --batch-size 16 --train-num 100 --test-num 16 \
-  --g-nch 16 --d-nch 16 --e-nch 16 --seed 1
+  --g-nch 16 --d-nch 16 --e-nch 16 --seed 1 --resume
 
 stage S9 python scripts/translation_oracle.py --ckpt runs/seed1/ckpt \
   --data-root "$BOOST_IMG" --attr-file "$BOOST_ATTR" --test-num 16 \

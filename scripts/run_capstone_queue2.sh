@@ -37,7 +37,7 @@ stage T2 python scripts/sample_sweep.py --ckpt runs/cap05/ckpt \
 stage T3 python scripts/train.py --preset 03_srgan_nopretraining --out runs/seed2 \
   --data-root "$BOOST_IMG" --attr-file "$BOOST_ATTR" \
   --epochs 60 --batch-size 16 --train-num 100 --test-num 16 \
-  --g-nch 16 --d-nch 16 --e-nch 16 --seed 2
+  --g-nch 16 --d-nch 16 --e-nch 16 --seed 2 --resume
 
 stage T4 python scripts/translation_oracle.py --ckpt runs/seed2/ckpt \
   --data-root "$BOOST_IMG" --attr-file "$BOOST_ATTR" --test-num 16 \

@@ -284,6 +284,11 @@ PRESETS = {
     "02_singlegan_solod": singlegan_solod,
     "03_srgan_nopretraining": srgan_nopretraining,
     "05_srgan_full": srgan_full,
+    # alias: the config produced by srgan_full is *named*
+    # "05_srgan_pretrained" (configs.py:187), so accept that name here too —
+    # otherwise a user reading it out of a run's config.json and passing it
+    # back as --preset gets a KeyError
+    "05_srgan_pretrained": srgan_full,
 }
 
 

@@ -243,3 +243,17 @@ def test_load_config_warns_on_conflicting_preset(tmp_path):
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         assert load_config_for_ckpt(str(tmp_path)) == cfg
+
+
+def test_preset_registry_accepts_05_config_name():
+    """srgan_full() names its config '05_srgan_pretrained'; users who read
+    that name out of a run's config.json and pass it back as --preset must
+    not get a KeyError, so the registry carries it as an alias.  (The nb01
+    presets intentionally use short registry keys while their config names
+    encode hyperparameters reference-filename style — no alias needed there
+    because the name never doubles as a lookup key in our CLIs' examples.)"""
+    from srgan_tpu.configs import PRESETS
+
+    assert "05_srgan_pretrained" in PRESETS
+    assert PRESETS["05_srgan_pretrained"]() == PRESETS["05_srgan_full"]()
+    assert PRESETS["05_srgan_full"]().name == "05_srgan_pretrained"

@@ -119,7 +119,8 @@ def test_summary_match_artifacts_consistent():
     """Cross-framework equilibrium summaries carry the same schema and
     finite accuracies."""
     for name in ("summary_match_torch.json", "summary_match_jax.json",
-                 "summary_match_torch_s1.json"):
+                 "summary_match_torch_s1.json", "summary_match_torch_s2.json",
+                 "summary_match_jax_s1.json", "summary_match_jax_s2.json"):
         rep = _load(name)
         for phase in ("init", "trained"):
             assert _finite(rep[phase]["acc"])

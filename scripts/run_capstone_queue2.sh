@@ -43,4 +43,17 @@ stage T4 python scripts/translation_oracle.py --ckpt runs/seed2/ckpt \
   --data-root "$BOOST_IMG" --attr-file "$BOOST_ATTR" --test-num 16 \
   --out docs/evidence/summary_match_jax_s2.json
 
+# T5: the full 3-seed identity report (supersedes the queue-1 S10 2-pair
+# version in place once the seed-2 JAX arm exists).
+stage T5 python scripts/compare_seed_equilibria.py \
+  --pair 0 docs/evidence/summary_match_torch.json docs/evidence/summary_match_jax.json \
+  --pair 1 docs/evidence/summary_match_torch_s1.json docs/evidence/summary_match_jax_s1.json \
+  --pair 2 docs/evidence/summary_match_torch_s2.json docs/evidence/summary_match_jax_s2.json \
+  --out docs/evidence/seed_equilibria_r04.json
+
+# T6: re-execute the nb06 mirror so its committed outputs render the
+# round-4 comparison artifact produced by queue-1 stage S6.
+stage T6 jupyter nbconvert --to notebook --execute --inplace \
+  --ExecutePreprocessor.timeout=1800 notebooks/06_compare_prdc.ipynb
+
 echo "QUEUE2 COMPLETE $(date -u '+%F %T')"

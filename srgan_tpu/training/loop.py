@@ -156,7 +156,10 @@ def train_gan(cfg: ExperimentConfig, out_dir: str,
     except ValueError:
         pass    # not in the main thread (e.g. under a test runner)
 
-    step = 0
+    # the state's own step counter survives checkpoint/restore, so logged
+    # steps stay monotonic across --resume (a resumed run used to restart
+    # the metrics.jsonl step column at 1)
+    step = int(jax.device_get(state.step))
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
     try:

@@ -6,6 +6,7 @@ Capability mirror of the reference's plotting stack:
   - GIF writer               save_gif             (util.py:356-373)
   - correlation matrix plot  plot_correlation_matrix (util.py:336-354)
   - confusion matrix plot    plot_confusion_matrix   (util.py:376-452)
+  - loss curves              nb01 cell 22's D/G/E panel, over metrics.jsonl
 
 All figure functions return the matplotlib Figure (headless-safe, Agg).
 """
@@ -126,6 +127,59 @@ def save_gif(images: Sequence[np.ndarray], gif_path: str,
     frames = [Image.fromarray(f) for f in to_uint8_images(np.asarray(images))]
     frames[0].save(gif_path, save_all=True, append_images=frames[1:],
                    duration=duration, loop=0)
+
+
+def plot_loss_curves(metrics, model_keys: Sequence[str] = ("errD", "errG",
+                                                           "errE"),
+                     x_key: str = "step",
+                     save_path: Optional[str] = None):
+    """Training loss curves — the reference's in-notebook loss panel
+    (nb01 cell 22: one axes with Discriminator/Generator/Encoder lines),
+    plus a second axes for the individual loss_* components our
+    MetricLogger records.
+
+    ``metrics`` is a path to a metrics.jsonl written by the training loop,
+    or an already-loaded sequence of metric dicts.  Keys missing from the
+    log are skipped (e.g. errE for the classifier job).
+    """
+    import json
+
+    if isinstance(metrics, (str, bytes)):
+        with open(metrics) as f:
+            metrics = [json.loads(line) for line in f]
+    metrics = list(metrics)
+    if not metrics:
+        raise ValueError("empty metrics log")
+
+    xs = [m.get(x_key, i) for i, m in enumerate(metrics)]
+    comp_keys = sorted({k for m in metrics for k in m
+                        if k.startswith("loss_")})
+    present = [k for k in model_keys if any(k in m for m in metrics)]
+
+    fig, axes = plt.subplots(1, 2 if comp_keys else 1,
+                             figsize=(12 if comp_keys else 6, 4.5))
+    axes = np.atleast_1d(axes)
+    names = {"errD": "Discriminator", "errG": "Generator",
+             "errE": "Encoder", "errG_ex": "Generator (phase 2)"}
+    for k in present:
+        pts = [(x, m[k]) for x, m in zip(xs, metrics) if k in m]
+        axes[0].plot(*zip(*pts), label=names.get(k, k))
+    axes[0].set_xlabel(x_key)
+    axes[0].set_yscale("log")
+    axes[0].legend()
+    axes[0].set_title("model losses")
+    if comp_keys:
+        for k in comp_keys:
+            pts = [(x, m[k]) for x, m in zip(xs, metrics) if k in m]
+            axes[1].plot(*zip(*pts), label=k[len("loss_"):])
+        axes[1].set_xlabel(x_key)
+        axes[1].set_yscale("log")
+        axes[1].legend(fontsize=8)
+        axes[1].set_title("loss components")
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, format="png", bbox_inches="tight")
+    return fig
 
 
 def plot_correlation_matrix(cm: np.ndarray, save_path: Optional[str] = None):

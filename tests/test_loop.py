@@ -207,6 +207,13 @@ def test_sigterm_checkpoints_and_stops(tmp_path, monkeypatch):
         sample_grids=False, synthetic_per_class=10, echo=False, resume=True,
         synthetic_dir_override=str(tmp_path / "data"))
     assert int(state2.step) > 0
+    # the metrics.jsonl step column must stay monotonic across the resume
+    # (a resumed run used to restart it at 1)
+    import json as _json
+    logged = [_json.loads(l)["step"]
+              for l in open(os.path.join(out, "metrics.jsonl"))]
+    assert logged == sorted(logged) and len(set(logged)) == len(logged), (
+        f"non-monotonic step column across resume: {logged}")
 
 
 def test_resume_with_different_config_refuses(tmp_path):

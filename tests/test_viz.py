@@ -80,3 +80,30 @@ def test_matrix_plots(tmp_path):
     corr = np.corrcoef(np.random.default_rng(0).standard_normal((4, 50)))
     fig = plot_correlation_matrix(corr, save_path=str(tmp_path / "corr.png"))
     assert (tmp_path / "corr.png").stat().st_size > 0
+
+
+def test_plot_loss_curves(tmp_path):
+    """nb01 cell-22 loss panel equivalent over a metrics.jsonl log, both
+    from a file path and from loaded dicts; component panel optional."""
+    import json
+
+    from srgan_tpu.utils.viz import plot_loss_curves
+
+    rows = [{"step": s, "errD": 1.0 / (s + 1), "errG": 2.0 / (s + 1),
+             "errE": 100.0 / (s + 1), "loss_cycle": 0.5 / (s + 1),
+             "loss_hist": 40.0 / (s + 1)} for s in range(10)]
+    log = tmp_path / "metrics.jsonl"
+    log.write_text("".join(json.dumps(r) + "\n" for r in rows))
+
+    fig = plot_loss_curves(str(log), save_path=str(tmp_path / "losses.png"))
+    assert (tmp_path / "losses.png").stat().st_size > 0
+    assert len(fig.axes) == 2  # model panel + component panel
+
+    # no loss_* components (classifier job shape) -> single panel;
+    # missing model keys are skipped rather than KeyError
+    fig = plot_loss_curves([{"step": 0, "errD": 1.0}, {"step": 1,
+                                                       "errD": 0.5}])
+    assert len(fig.axes) == 1
+
+    with pytest.raises(ValueError):
+        plot_loss_curves([])

@@ -90,6 +90,14 @@ def test_sample_sweep_cli(trained_run):
     assert len(gifs) == 4 and pngs, os.listdir(out)
 
 
+def test_plot_losses_cli(trained_run, tmp_path):
+    root, run = trained_run
+    out = str(tmp_path / "losses.png")
+    _run("plot_losses.py", "--metrics", os.path.join(run, "metrics.jsonl"),
+         "--out", out)
+    assert os.path.getsize(out) > 0
+
+
 def test_evaluate_then_compare_cli(trained_run):
     root, run = trained_run
     pkl = str(root / "prdc.pkl")

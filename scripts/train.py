@@ -62,6 +62,10 @@ def main():
     ap.add_argument("--d-num-cls", type=int)
     ap.add_argument("--e-num-cls", type=int)
     ap.add_argument("--no-sample-grids", action="store_true")
+    ap.add_argument("--grid-every-epochs", type=int, default=1,
+                    help="render progress grids only every N epochs "
+                    "(default 1 = the reference's ~3x/epoch cadence; "
+                    "raise for long evidence runs)")
     ap.add_argument("--resume", action="store_true",
                     help="resume from the latest checkpoint in --out")
     ap.add_argument("--profile-dir", help="write a jax.profiler trace here")
@@ -99,6 +103,7 @@ def main():
               mesh=mesh, epochs=args.epochs,
               classifier_ckpt=args.classifier_ckpt,
               sample_grids=not args.no_sample_grids,
+              grid_every_epochs=args.grid_every_epochs,
               synthetic_per_class=args.synthetic_per_class,
               resume=args.resume, profile_dir=args.profile_dir,
               debug_nans=args.debug_nans)

@@ -69,6 +69,7 @@ def train_gan(cfg: ExperimentConfig, out_dir: str,
               epochs: Optional[int] = None,
               classifier_ckpt: Optional[str] = None,
               sample_grids: bool = True,
+              grid_every_epochs: int = 1,
               checkpoint_every: int = 3,
               synthetic_per_class: int = 16,
               echo: bool = True,
@@ -86,9 +87,17 @@ def train_gan(cfg: ExperimentConfig, out_dir: str,
     if resume and os.path.exists(cfg_json):
         # the original run record is what downstream CLIs rebuild the model
         # from — never silently replace it on --resume
+        import dataclasses as _dc
         import json
         stored = config_from_dict(json.load(open(cfg_json)))
-        if stored != cfg:
+        # epochs is a run-length, not a model/trainer identity: extending a
+        # finished run (--resume --epochs 240 over a 120-epoch record) is the
+        # reference's own re-run-the-training-cell workflow, so it is exempt
+        # from the equality guard.  The stored record keeps the original
+        # epochs value.
+        stored_cmp = _dc.replace(
+            stored, train=_dc.replace(stored.train, epochs=cfg.train.epochs))
+        if stored_cmp != cfg:
             raise ValueError(
                 f"--resume with a different config than {cfg_json} "
                 f"(stored '{stored.name}' != requested '{cfg.name}' or "
@@ -177,7 +186,11 @@ def train_gan(cfg: ExperimentConfig, out_dir: str,
                     # grid at every metric interval = ~3x/epoch, the
                     # reference's cadence (nb01 cell 22 renders alongside
                     # each loss append)
-                    if sample_grids and len(sample_ds):
+                    # grid_every_epochs > 1 thins long evidence runs (a
+                    # 120-epoch run at the default cadence emits 480 PNGs)
+                    # while keeping the reference's 3x/epoch default
+                    if (sample_grids and len(sample_ds)
+                            and epoch % max(grid_every_epochs, 1) == 0):
                         from srgan_tpu.utils.viz import (
                             training_progress_grid)
                         fig = training_progress_grid(

@@ -137,15 +137,15 @@ def _measure(cfg, label: str) -> dict:
     # the scalar value is the only reliable sync.
 
     iters = int(os.environ.get("BENCH_ITERS", "20"))
-    best = float("inf")
+    trials = []
     for trial in range(3):
         t0 = time.perf_counter()
         for i in range(iters):
             state, m = trainer.step(state, host_batch,
                                     jax.random.PRNGKey(1000 + trial * 100 + i))
         float(m["errG"])   # true sync (see warmup note)
-        best = min(best, time.perf_counter() - t0)
-    dt = best / iters
+        trials.append(time.perf_counter() - t0)
+    dt = min(trials) / iters
 
     peak = _chip_peak(jax.devices()[0])
     out = {
@@ -156,6 +156,12 @@ def _measure(cfg, label: str) -> dict:
         "mfu": (round(flops / dt / peak, 4)
                 if flops and peak else None),
     }
+    # contention telltale: steady-state trials on an exclusive chip agree to
+    # a few percent; a co-runner shows up as inter-trial spread (the r4
+    # driver bench regressed 14% this way without any error signal)
+    spread = max(trials) / min(trials)
+    if spread > float(os.environ.get("BENCH_SPREAD_BOUND", "1.3")):
+        out["unstable_timing"] = round(spread, 3)
     print(json.dumps(out), file=sys.stderr)
     return out
 
@@ -216,6 +222,19 @@ def main():
         print(json.dumps({"probe": "ok"}))
         return
 
+    # busy-chip guard (VERDICT r4 weak-1): wait for cooperative chip-lock
+    # holders (training/eval CLIs drop markers via utils.chiplock) to finish
+    # before timing; if any survive the wait, the output says so instead of
+    # silently recording a contended number.
+    from srgan_tpu.utils.chiplock import wait_chip_free
+    holders = wait_chip_free(float(os.environ.get("BENCH_BUSY_WAIT", "1800")))
+    if holders:
+        print(f"bench: chip still held by pids {holders} after wait — "
+              "result will be annotated as contended", file=sys.stderr)
+    if os.environ.get("BENCH_GUARD_ONLY"):  # smoke-test hook
+        print(json.dumps({"probe": "ok", "holders": holders}))
+        return
+
     flag = _measure(_flagship_cfg(), "srgan_full_b128")
 
     if run_all:
@@ -254,14 +273,19 @@ def main():
             json.dump({"images_per_sec": images_per_sec,
                        "note": "round-1 self-baseline (reference publishes "
                                "no throughput, BASELINE.md)"}, f)
-    print(json.dumps({
+    line = {
         "metric": "srgan_train_images_per_sec_per_chip",
         "value": images_per_sec,
         "unit": "images/sec",
         "vs_baseline": round(images_per_sec / base, 3),
         "mfu": flag["mfu"],
         "step_ms": flag["step_ms"],
-    }))
+    }
+    if holders:
+        line["contended_with_pids"] = holders
+    if "unstable_timing" in flag:
+        line["unstable_timing"] = flag["unstable_timing"]
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -83,8 +83,10 @@ def main():
     target = jax.device_get(trainer.init_state(
         jax.random.PRNGKey(0), freeze_pretrained=cfg.pretrained_encoder))
     if args.init_baseline:
-        state = target   # untrained: same config/seed as translation_oracle's
-    else:                # fresh-init comparison point
+        # untrained fresh-init comparison point: same config/seed as
+        # translation_oracle's init arm
+        state = target
+    else:
         state = restore_checkpoint(args.ckpt, target, step=args.ckpt_step)
 
     evaluators = {}
@@ -134,4 +136,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from srgan_tpu.utils.chiplock import hold_chip
+    with hold_chip("evaluate_prdc"):   # bench.py contention guard
+        main()

@@ -89,4 +89,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from srgan_tpu.utils.chiplock import hold_chip
+    with hold_chip("finetune_vgg"):   # bench.py contention guard
+        main()

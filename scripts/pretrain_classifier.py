@@ -144,4 +144,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from srgan_tpu.utils.chiplock import hold_chip
+    with hold_chip("pretrain_classifier"):   # bench.py contention guard
+        main()

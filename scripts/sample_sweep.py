@@ -85,4 +85,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from srgan_tpu.utils.chiplock import hold_chip
+    with hold_chip("sample_sweep"):   # bench.py contention guard
+        main()

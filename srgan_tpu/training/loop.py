@@ -169,6 +169,12 @@ def train_gan(cfg: ExperimentConfig, out_dir: str,
     # steps stay monotonic across --resume (a resumed run used to restart
     # the metrics.jsonl step column at 1)
     step = int(jax.device_get(state.step))
+    # advertise chip occupancy for the loop's duration so bench.py can
+    # refuse/annotate instead of recording a contended number (entered
+    # manually to join the existing try/finally)
+    from srgan_tpu.utils.chiplock import hold_chip
+    chip = hold_chip(f"train_gan {out_dir}")
+    chip.__enter__()
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
     try:
@@ -220,6 +226,7 @@ def train_gan(cfg: ExperimentConfig, out_dir: str,
         if profile_dir:
             jax.profiler.stop_trace()
         logger.close()
+        chip.__exit__(None, None, None)
     if not stop_requested:
         save_checkpoint(os.path.join(out_dir, "ckpt"), state, step=epochs)
     return trainer, state

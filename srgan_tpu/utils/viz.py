@@ -156,6 +156,13 @@ def plot_loss_curves(metrics, model_keys: Sequence[str] = ("errD", "errG",
                         if k.startswith("loss_")})
     present = [k for k in model_keys if any(k in m for m in metrics)]
 
+    def _scale(keys):
+        # log hides zero/negative points without warning; fall back to
+        # symlog when any plotted value is non-positive (possible for
+        # future signed loss channels) so nothing silently disappears
+        vals = [m[k] for m in metrics for k in keys if k in m]
+        return "log" if all(v > 0 for v in vals) else "symlog"
+
     fig, axes = plt.subplots(1, 2 if comp_keys else 1,
                              figsize=(12 if comp_keys else 6, 4.5))
     axes = np.atleast_1d(axes)
@@ -165,7 +172,7 @@ def plot_loss_curves(metrics, model_keys: Sequence[str] = ("errD", "errG",
         pts = [(x, m[k]) for x, m in zip(xs, metrics) if k in m]
         axes[0].plot(*zip(*pts), label=names.get(k, k))
     axes[0].set_xlabel(x_key)
-    axes[0].set_yscale("log")
+    axes[0].set_yscale(_scale(present))
     axes[0].legend()
     axes[0].set_title("model losses")
     if comp_keys:
@@ -173,7 +180,7 @@ def plot_loss_curves(metrics, model_keys: Sequence[str] = ("errD", "errG",
             pts = [(x, m[k]) for x, m in zip(xs, metrics) if k in m]
             axes[1].plot(*zip(*pts), label=k[len("loss_"):])
         axes[1].set_xlabel(x_key)
-        axes[1].set_yscale("log")
+        axes[1].set_yscale(_scale(comp_keys))
         axes[1].legend(fontsize=8)
         axes[1].set_title("loss components")
     fig.tight_layout()

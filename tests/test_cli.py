@@ -330,6 +330,52 @@ def test_bench_probe_paths():
     assert line["value"] is None and "unreachable" in line["error"]
 
 
+def test_bench_busy_chip_guard(tmp_path):
+    """bench.py busy-chip guard (VERDICT r4 weak-1): a live cooperative
+    chip-lock holder makes the bench wait and then annotate; a free lock dir
+    passes through clean."""
+    env = _env()
+    env["BENCH_GUARD_ONLY"] = "1"
+    env["BENCH_BUSY_WAIT"] = "0.5"
+    env["SRGAN_TPU_LOCK_DIR"] = str(tmp_path / "locks")
+
+    free = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                          env=env, capture_output=True, text=True,
+                          timeout=300)
+    assert free.returncode == 0, free.stderr[-2000:]
+    assert json.loads(free.stdout.strip().splitlines()[-1])["holders"] == []
+
+    # a live holder (this test process) must survive the wait + be reported
+    os.makedirs(tmp_path / "locks", exist_ok=True)
+    (tmp_path / "locks" / f"{os.getpid()}.pid").write_text("test holder")
+    # a dead holder must be garbage-collected, not reported
+    (tmp_path / "locks" / "999999999.pid").write_text("stale")
+    busy = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                          env=env, capture_output=True, text=True,
+                          timeout=300)
+    assert busy.returncode == 0, busy.stderr[-2000:]
+    line = json.loads(busy.stdout.strip().splitlines()[-1])
+    assert line["holders"] == [os.getpid()]
+    assert not (tmp_path / "locks" / "999999999.pid").exists()
+    assert "contended" in busy.stderr
+
+
+def test_chiplock_hold_and_clean(tmp_path):
+    """utils.chiplock: hold_chip drops/removes a pid marker; busy_pids
+    prunes dead-pid and malformed markers."""
+    from srgan_tpu.utils.chiplock import busy_pids, hold_chip
+
+    d = str(tmp_path / "locks")
+    with hold_chip("unit", lock_dir=d, only_on_tpu=False):
+        assert busy_pids(d) == [os.getpid()]
+    assert busy_pids(d) == []
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "not-a-pid.pid"), "w") as f:
+        f.write("junk")
+    assert busy_pids(d) == []
+    assert not os.path.exists(os.path.join(d, "not-a-pid.pid"))
+
+
 def test_make_fixture_cli(tmp_path):
     """make_fixture.py (round 4): named recipes are deterministic — the same
     recipe twice yields byte-identical fixtures, and fixture.json records

@@ -76,7 +76,7 @@ def test_scaling_analysis():
     flag = rep["flagship"]
     assert flag["total_allreduce_bytes_per_step"] > 0
     for pred in flag["predictions"].values():
-        assert 0.9 <= pred["efficiency_no_overlap"] <= 1.0
+        assert 0.95 <= pred["efficiency_no_overlap"] <= 1.0
     hlo = rep["hlo_check"]["hlo"]
     assert hlo["num_all_reduces"] > 0 and hlo["total_bytes"] > 0
 

@@ -107,3 +107,10 @@ def test_plot_loss_curves(tmp_path):
 
     with pytest.raises(ValueError):
         plot_loss_curves([])
+
+    # zero/negative values (possible for future signed channels) must not
+    # silently vanish from a log axis -> symlog fallback per panel
+    fig = plot_loss_curves([{"step": 0, "errD": 0.0, "loss_x": 1.0},
+                            {"step": 1, "errD": -0.5, "loss_x": 0.5}])
+    assert fig.axes[0].get_yscale() == "symlog"
+    assert fig.axes[1].get_yscale() == "log"

@@ -10,4 +10,7 @@ from srgan_tpu.data.attributes import (  # noqa: F401
 )
 from srgan_tpu.data.dataset import DEFAULT_DATASET_LABEL, FaceDataset  # noqa: F401
 from srgan_tpu.data.loader import DataLoader, prefetch_to_device  # noqa: F401
-from srgan_tpu.data.synthetic import make_synthetic_celeba  # noqa: F401
+from srgan_tpu.data.synthetic import (  # noqa: F401
+    make_scale_attr_file,
+    make_synthetic_celeba,
+)

@@ -51,6 +51,47 @@ def _smooth_field(rng: np.random.Generator, h: int, w: int,
             + wy * ((1 - wx) * g10 + wx * g11))
 
 
+# Approximate real-CelebA marginal frequencies (fraction of rows with +1)
+# for every attribute the notebook filter touches (nb01 cell 6; quoted from
+# the dataset's published attribute statistics).  Used by
+# make_scale_attr_file so a synthetic 202,599-row file yields realistic
+# filter survivor counts (~50% keep rate, >=20k per Male x Smiling class).
+CELEBA_MARGINALS = {
+    "5_o_Clock_Shadow": 0.111, "Blurry": 0.051, "Chubby": 0.058,
+    "Double_Chin": 0.047, "Eyeglasses": 0.065, "Goatee": 0.063,
+    "Male": 0.417, "Mustache": 0.042, "No_Beard": 0.835,
+    "Sideburns": 0.057, "Smiling": 0.482, "Wearing_Hat": 0.049,
+    "Young": 0.779,
+}
+
+
+def make_scale_attr_file(path: str, n_rows: int = 202_599,
+                         seed: int = 0) -> str:
+    """Write a full-scale synthetic ``list_attr_celeba.txt`` (no pixels).
+
+    Mirrors the real file's shape exactly — count line, 40-name header,
+    ``NNNNNN.jpg`` rows of +-1 — with attributes drawn i.i.d. from
+    CELEBA_MARGINALS (0.5 for attrs the filter never reads).  Lets the
+    ingest path (notebook A cell 5 + reference dataset.py:20-141) be
+    exercised at the real 202,599-row scale without 2 GB of images.
+    """
+    rng = np.random.default_rng(seed)
+    cols = [(rng.random(n_rows) <
+             CELEBA_MARGINALS.get(a, 0.5)).astype(np.int8) * 2 - 1
+            for a in CELEBA_ATTRS]
+    mat = np.stack(cols, axis=1)          # (N, 40) of +-1
+    names = [f"{i + 1:06d}.jpg" for i in range(n_rows)]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write(f"{n_rows}\n")
+        f.write(" ".join(CELEBA_ATTRS) + "\n")
+        body = "\n".join(
+            n + " " + " ".join("1" if v > 0 else "-1" for v in row)
+            for n, row in zip(names, mat))
+        f.write(body + "\n")
+    return path
+
+
 def make_synthetic_celeba(out_dir: str, n_per_class: int = 10,
                           size: Tuple[int, int] = (178, 218),
                           seed: int = 0,

@@ -141,3 +141,24 @@ def test_summary_match_artifacts_consistent():
             assert _finite(rep[phase]["acc"])
             assert rep[phase]["pairs"], f"{name} {phase} has no pair scores"
             assert all(0.0 <= v <= 1.0 for v in rep[phase]["pairs"].values())
+
+
+def test_data_scale_dryrun():
+    """VERDICT r4 item 7: the ingest path was exercised at the real CelebA
+    scale (202,599 attr rows, train_num=10,000/class), not just fixtures."""
+    rep = _load("data_scale_dryrun.json")
+    assert rep["n_rows"] == 202_599
+    assert rep["label_chunks"] == 41          # ceil(202599 / 5000)
+    assert rep["splits"]["train"]["per_class"] == [10_000] * 4
+    assert rep["splits"]["val"]["per_class"] == [500] * 4
+    assert rep["splits"]["test"]["per_class"] == [500] * 4
+    assert rep["selected_images"] == 44_000
+    # end-to-end label-folder build at full scale stays interactive (<5 min)
+    total = (rep["parse_attr_s"] + rep["build_label_folder_s"]
+             + rep["load_label_store_s"]
+             + sum(s["init_s"] for s in rep["splits"].values()))
+    assert total < 300, total
+    # the decode path must sustain training: bench-rate (344 img/s) covered
+    # by whichever loader path actually ran
+    rates = [rep["loader"][k]["img_per_s"] for k in ("native", "pil")]
+    assert max(rates) > 344, rates

@@ -116,7 +116,7 @@ cfg = ExperimentConfig(
     train=TrainConfig(batch_size=batch, unrolled_k=k, encoded_feature="mu"),
     loss=LossWeights.proposed_kl(cls=1.0), trainer="srgan")
 mesh = make_mesh({n})
-t = GANTrainer(cfg, mesh=mesh, donate=False)
+t = GANTrainer(cfg, mesh=mesh, donate=False, grad_sync="{grad_sync}")
 state = t.init_state(jax.random.PRNGKey(0), image_size=hw)
 r = np.random.default_rng(0); src = r.integers(0, 4, batch)
 b = shard_batch({{
@@ -175,7 +175,8 @@ def hlo_allreduce_bytes(hlo_text: str) -> dict:
             "bytes_by_module": by_module}
 
 
-def run_hlo_check(n: int, hw: int, batch: int, k: int, geom: dict) -> dict:
+def run_hlo_check(n: int, hw: int, batch: int, k: int, geom: dict,
+                  grad_sync: str = "auto") -> dict:
     """Compile the sharded step on an n-device virtual CPU mesh in a child
     process (the parent may own the TPU backend) and analyze its HLO."""
     env = dict(os.environ)
@@ -189,7 +190,8 @@ def run_hlo_check(n: int, hw: int, batch: int, k: int, geom: dict) -> dict:
     env.setdefault("JAX_COMPILATION_CACHE_DIR",
                    os.path.join(os.path.dirname(os.path.dirname(
                        os.path.abspath(__file__))), "tests", ".jax_cache"))
-    code = _HLO_CHILD.format(hw=hw, batch=batch, k=k, n=n, **geom)
+    code = _HLO_CHILD.format(hw=hw, batch=batch, k=k, n=n,
+                             grad_sync=grad_sync, **geom)
     res = subprocess.run([sys.executable, "-c", code], env=env,
                          capture_output=True, text=True, timeout=3600)
     if res.returncode != 0:
@@ -270,6 +272,43 @@ def main():
             t_ar = wire / bw
             eff = step_time / (step_time + t_ar)
             report["flagship_hlo_extrapolated"]["predictions"][name] = {
+                "allreduce_time_s": t_ar,
+                "efficiency_no_overlap": eff,
+                "predicted_images_per_sec_8chip":
+                    args.images_per_sec * args.n_chips * eff,
+            }
+
+        # --- manual grad-sync mode (shard_map + one pmean per grad tree;
+        # training/gan.py grad_sync="manual") — the wire volume SHOULD be
+        # the analytic ideal 2|G| + k|D| + |E| + stats, with no per-call-
+        # site partial-cotangent blowup.
+        hlo_man = run_hlo_check(args.n_chips, args.hlo_hw, 16, 2, geom,
+                                grad_sync="manual")
+        ratio_man = (hlo_man["total_bytes"]
+                     / max(expect["total_allreduce_bytes_per_step"], 1))
+        report["hlo_check_manual"] = {
+            "geometry": report["hlo_check"]["geometry"],
+            "hlo": hlo_man,
+            "analytic_bytes": expect["total_allreduce_bytes_per_step"],
+            "ratio_hlo_over_analytic": ratio_man,
+            "bytes_saved_vs_auto":
+                hlo["total_bytes"] - hlo_man["total_bytes"],
+            "volume_vs_auto":
+                hlo_man["total_bytes"] / max(hlo["total_bytes"], 1),
+        }
+        # flagship prediction under manual mode: scale the analytic ideal
+        # by the measured small-geometry ratio (covers psum'd loss stats
+        # and any residual XLA bookkeeping)
+        flag = report["flagship"]
+        man_total = ratio_man * flag["total_allreduce_bytes_per_step"]
+        report["flagship_manual"] = {
+            "total_allreduce_bytes_per_step": int(man_total),
+            "predictions": {}}
+        wire = 2 * (args.n_chips - 1) / args.n_chips * man_total
+        for name, bw in ICI_BYTES_PER_SEC.items():
+            t_ar = wire / bw
+            eff = step_time / (step_time + t_ar)
+            report["flagship_manual"]["predictions"][name] = {
                 "allreduce_time_s": t_ar,
                 "efficiency_no_overlap": eff,
                 "predicted_images_per_sec_8chip":

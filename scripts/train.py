@@ -44,6 +44,11 @@ def main():
                     help=".pth or orbax dir of the nb04 classifier")
     ap.add_argument("--mesh", action="store_true",
                     help="data-parallel over all local devices")
+    ap.add_argument("--grad-sync", choices=("auto", "manual"),
+                    default="auto",
+                    help="mesh collective mode: GSPMD-derived (auto) or "
+                         "shard_map with one pmean per grad tree (manual; "
+                         "2.8x less all-reduce volume, docs/PERF.md)")
     ap.add_argument("--epochs", type=int)
     ap.add_argument("--batch-size", type=int)
     ap.add_argument("--unrolled-k", type=int)
@@ -52,6 +57,12 @@ def main():
     ap.add_argument("--compute-dtype", choices=["float32", "bfloat16"])
     ap.add_argument("--seed", type=int,
                     help="training seed (init + shuffling + latents)")
+    ap.add_argument("--lr-gamma", type=float,
+                    help="ExponentialLR per-epoch decay (default: preset's "
+                    "0.95, the reference's value).  At fixture scale "
+                    "(200 imgs/class vs the reference's 10,000) each epoch "
+                    "is ~12x fewer steps, so 0.95 freezes training by "
+                    "~e120; raise toward 0.99 for long small-data runs")
     # model-geometry overrides (persisted in the run's config.json so
     # downstream CLIs rebuild the matching model automatically)
     ap.add_argument("--image-size", type=int)
@@ -81,7 +92,7 @@ def main():
         batch_size=args.batch_size, unrolled_k=args.unrolled_k,
         train_num=args.train_num, compute_dtype=args.compute_dtype,
         test_num=args.test_num, seed=args.seed,
-        epochs=args.epochs).items() if v is not None}
+        lr_gamma=args.lr_gamma, epochs=args.epochs).items() if v is not None}
     if train_over:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, **train_over))
@@ -100,7 +111,7 @@ def main():
     mesh = make_mesh() if args.mesh else None
     train_gan(cfg, args.out, data_root=args.data_root,
               attr_file=args.attr_file, label_root=args.label_root,
-              mesh=mesh, epochs=args.epochs,
+              mesh=mesh, grad_sync=args.grad_sync, epochs=args.epochs,
               classifier_ckpt=args.classifier_ckpt,
               sample_grids=not args.no_sample_grids,
               grid_every_epochs=args.grid_every_epochs,

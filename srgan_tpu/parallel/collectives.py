@@ -48,6 +48,63 @@ def global_corrcoef_loss(mu_local: jax.Array, axis: str) -> jax.Array:
     return jnp.sum(jnp.abs(corr - jnp.eye(d))) / (d * (d - 1))
 
 
+def global_kl_loss(mu_local: jax.Array, logvar_local: jax.Array,
+                   axis: str) -> jax.Array:
+    """Conventional VAE KL psum'd over shards.
+
+    The reference sums over batch AND dims (util_notebook.py:302), so the
+    global value is the psum of local sums — NOT a mean — which is why the
+    manual-grad-sync trainer must route it through psum (a local sum would
+    come out 1/n after the pmean of gradients)."""
+    mu = mu_local.astype(jnp.float32)
+    logvar = logvar_local.astype(jnp.float32)
+    local = -0.5 * jnp.sum(1.0 + logvar - mu**2 - jnp.exp(logvar))
+    return jax.lax.psum(local, axis)
+
+
+def global_masked_lsgan_loss(outputs, target: float, mask: jax.Array,
+                             axis: str) -> jax.Array:
+    """masked_lsgan_loss over the GLOBAL batch: per-scale masked-sum and
+    mask count both psum'd before the divide (the reference slices its
+    unsharded batch per domain, util_notebook.py:230-245)."""
+    loss = 0.0
+    for out in outputs:
+        out = out.astype(jnp.float32)
+        m = mask.reshape((-1,) + (1,) * (out.ndim - 1)).astype(jnp.float32)
+        num = jax.lax.psum(jnp.sum((out - target) ** 2 * m), axis)
+        count = jax.lax.psum(jnp.sum(m), axis) * (out.size // out.shape[0])
+        loss = loss + num / jnp.maximum(count, 1.0)
+    return loss / len(outputs)
+
+
+def global_diversification_loss(mu: jax.Array, logvar: jax.Array, *, weights,
+                                n_batch: int, hist_target, axis: str):
+    """`ops.losses.diversification_loss` with every batch-global statistic
+    psum'd over the mesh axis — same gating structure (corr/hist nested
+    inside batch_KL > 0, quirk ledger #2), same return contract
+    (errE, metrics).  Values are replicated across shards."""
+    errE = jnp.float32(0.0)
+    metrics = {}
+    if weights.KL > 0:
+        v = global_kl_loss(mu, logvar, axis)
+        errE = errE + v * weights.KL
+        metrics["loss_KL"] = v
+    if weights.batch_KL > 0:
+        v = global_batch_kl(mu.astype(jnp.float32), n_batch, axis)
+        errE = errE + v * weights.batch_KL
+        metrics["loss_batch_KL"] = v
+        if weights.corr_enc > 0:
+            v = global_corrcoef_loss(mu.astype(jnp.float32), axis)
+            errE = errE + v * weights.corr_enc
+            metrics["loss_corr"] = v
+        if weights.hist > 0:
+            v = global_histogram_imitation(mu.astype(jnp.float32),
+                                           hist_target, axis)
+            errE = errE + v * weights.hist
+            metrics["loss_hist"] = v
+    return errE, metrics
+
+
 def global_histogram_imitation(mu_local: jax.Array, target: jax.Array,
                                axis: str, bins: int = 50, vmin: float = -10.0,
                                vmax: float = 10.0, sigma: float = 0.2

@@ -82,7 +82,26 @@ class GANTrainer:
 
     def __init__(self, cfg: ExperimentConfig, mesh: Optional[Mesh] = None,
                  cls_kernels: Optional[Tuple[int, int]] = None,
-                 donate: bool = True):
+                 donate: bool = True, grad_sync: str = "auto"):
+        """grad_sync: "auto" (GSPMD derives the collectives from the
+        NamedShardings) or "manual" (the step runs inside shard_map with ONE
+        pmean per gradient tree and explicit psums for the batch-global
+        losses).  GSPMD all-reduces each G call-site's partial cotangents
+        separately (~8.2x|G|/step measured, scaling_analysis.json); manual
+        mode cuts the wire volume to the ideal 2|G|+k|D|+|E|.  Results are
+        numerically identical to fp tolerance (tests/test_sharding.py)."""
+        if grad_sync not in ("auto", "manual"):
+            raise ValueError(f"grad_sync must be auto|manual, got {grad_sync}")
+        if grad_sync == "manual" and mesh is None:
+            raise ValueError("grad_sync='manual' requires a mesh")
+        if grad_sync == "manual" and cfg.model.norm_type == "batch":
+            # BatchNorm running stats would be computed per shard inside
+            # shard_map (GSPMD computes them globally); keep bn on GSPMD
+            raise ValueError("grad_sync='manual' does not support "
+                             "norm_type='batch'; use grad_sync='auto'")
+        self.grad_sync = grad_sync
+        self._axis = "data" if grad_sync == "manual" else None
+        self._n_shards = int(np.prod(list(mesh.shape.values()))) if mesh else 1
         self.donate = donate
         self.use_bn = cfg.model.norm_type == "batch"
         self.cfg = cfg
@@ -224,6 +243,49 @@ class GANTrainer:
         unrolled_restore = cfg.train.unrolled_restore
         solo = not self.per_domain
 
+        # --- manual grad-sync plumbing (no-ops when ax is None) ----------
+        # Recipe: per-shard losses keep plain batch MEANS local (pmean of
+        # their grads == grad of the global mean), while batch-SUM and
+        # nonlinear batch-global terms go through psum inside the loss (the
+        # psum transpose contributes an n_shards factor that the final pmean
+        # cancels exactly).  One pmean per gradient tree is the only
+        # param-sized collective per phase.
+        ax = self._axis
+        n_shards = self._n_shards
+
+        def sync_grads(tree):
+            if ax is None:
+                return tree
+            return jax.tree.map(lambda g: jax.lax.pmean(g, ax), tree)
+
+        def draw_batch(key, b, d):
+            """Per-shard slice of the GLOBAL (n*b, d) normal draw, so manual
+            mode consumes bit-identical latents to the single-device /
+            GSPMD step (row-major batch sharding)."""
+            if ax is None:
+                return self._draw_latent(key, (b, d))
+            g = self._draw_latent(key, (n_shards * b, d))
+            return jax.lax.dynamic_slice_in_dim(
+                g, jax.lax.axis_index(ax) * b, b, 0)
+
+        def sample_latent(mu, logvar, key):
+            eps = draw_batch(key, mu.shape[0], mu.shape[1])
+            return eps * jnp.exp(0.5 * logvar) + mu
+
+        if ax is None:
+            masked_lsgan = L.masked_lsgan_loss
+            diversification = L.diversification_loss
+        else:
+            from srgan_tpu.parallel import collectives as C
+
+            def masked_lsgan(outputs, target, mask):
+                return C.global_masked_lsgan_loss(outputs, target, mask, ax)
+
+            def diversification(mu, logvar, *, weights, n_batch, hist_target):
+                return C.global_diversification_loss(
+                    mu, logvar, weights=weights, n_batch=n_batch,
+                    hist_target=hist_target, axis=ax)
+
         def d_loss_fn(d_params, images, fake, onehot_src, src_labels,
                       tgt_labels):
             B = images.shape[0]
@@ -247,8 +309,8 @@ class GANTrainer:
             for i in range(n_classes):
                 m_src = (src_labels == i)
                 m_tgt = (tgt_labels == i)
-                e = (L.masked_lsgan_loss([a[i] for a in adv_r], 1.0, m_src)
-                     + L.masked_lsgan_loss([a[i] for a in adv_f], 0.0, m_tgt))
+                e = (masked_lsgan([a[i] for a in adv_r], 1.0, m_src)
+                     + masked_lsgan([a[i] for a in adv_f], 0.0, m_tgt))
                 per_domain_err.append(e)
             total = sum(per_domain_err)
             mean_err = total / n_classes
@@ -268,16 +330,16 @@ class GANTrainer:
                                       jnp.concatenate([onehot_tgt, c_rand], 1))
             d_grads, errD_last = jax.grad(d_loss_fn, has_aux=True)(
                 d_params_in, images, fake, onehot_src, src_labels, tgt_labels)
-            d_params, d_opt = adam_apply(self.tx, d_grads, d_opt_in,
-                                         d_params_in, lr_d)
+            d_params, d_opt = adam_apply(self.tx, sync_grads(d_grads),
+                                         d_opt_in, d_params_in, lr_d)
 
             # --- encoder on source (one trunk forward, per-call eps draws)
             mu, logvar, _, e_stats = self._E_trunk(e_params, images,
                                                    onehot_src, stats=e_stats)
-            style_recon = (self._sample_latent(mu, logvar, keys[0])
+            style_recon = (sample_latent(mu, logvar, keys[0])
                            if use_latent else mu)
             if lw.idt > 0:
-                style_idt = (self._sample_latent(mu, logvar, keys[1])
+                style_idt = (sample_latent(mu, logvar, keys[1])
                              if use_latent else mu)
                 recon, idt_img, g_stats = self._G_pair(
                     g_params, g_stats,
@@ -301,7 +363,7 @@ class GANTrainer:
                 adv = self._D(d_params, fake)
                 errG = 0.0
                 for i in range(n_classes):
-                    errG = errG + L.masked_lsgan_loss(
+                    errG = errG + masked_lsgan(
                         [a[i] for a in adv], 1.0, tgt_labels == i) / n_classes
 
             err_cycle = L.l1_loss(images, recon)
@@ -315,7 +377,7 @@ class GANTrainer:
                 errE_out = errE_out + lw.idt * err_idt
                 metrics["loss_idt"] = err_idt
 
-            errE, div_metrics = L.diversification_loss(
+            errE, div_metrics = diversification(
                 mu, logvar, weights=lw, n_batch=n_batch_cfg,
                 hist_target=hist_target)
             metrics.update(div_metrics)
@@ -335,13 +397,13 @@ class GANTrainer:
             if lw.idt_reg * lw.idt > 0:
                 if self.conditional_e:
                     # SingleGAN flavor (:352-360): random source-style image
-                    reg_target = self._draw_latent(keys[0], (B, ndim))
+                    reg_target = draw_batch(keys[0], B, ndim)
                     cond_idt = jnp.concatenate([onehot_src, reg_target], 1)
                 else:
                     # SRGAN flavor (:680-687): encoder-driven identity image
                     mu_s, logvar_s, _, e_stats = self._E_trunk(
                         e_params, images, None, stats=e_stats)
-                    style = (self._sample_latent(mu_s, logvar_s, keys[1])
+                    style = (sample_latent(mu_s, logvar_s, keys[1])
                              if use_latent else mu_s)
                     reg_target = mu_s
                     cond_idt = jnp.concatenate([onehot_src, style], 1)
@@ -381,14 +443,14 @@ class GANTrainer:
             snap = None
             errD0 = None
             for i in range(k - 1):
-                latent = self._draw_latent(keys[i], (B, ndim))
+                latent = draw_batch(keys[i], B, ndim)
                 fake, g_stats = self._G_t(state.g_params, g_stats, images,
                                           jnp.concatenate(
                                               [onehot_tgt, latent], 1))
                 grads, errD_mean = jax.grad(d_loss_fn, has_aux=True)(
                     d_params, images, fake, onehot_src, src_labels, tgt_labels)
-                d_params, d_opt = adam_apply(self.tx, grads, d_opt, d_params,
-                                             lr_d)
+                d_params, d_opt = adam_apply(self.tx, sync_grads(grads),
+                                             d_opt, d_params, lr_d)
                 if i == 0:
                     # snapshot AFTER the first update (quirk #8); only
                     # meaningful under unrolled_restore=True — the
@@ -397,7 +459,7 @@ class GANTrainer:
                     errD0 = errD_mean
 
             # ---------------- phase 1: joint G/E (+ final D update) --------
-            latent = self._draw_latent(keys[k - 1], (B, ndim))
+            latent = draw_batch(keys[k - 1], B, ndim)
             ge_keys = keys[k:k + 2]
             (_, (metrics, g_stats, e_stats, d_params, d_opt, errD_last)), \
                 (g_grads, e_grads) = \
@@ -408,6 +470,7 @@ class GANTrainer:
             if k == 1:
                 snap = d_params
                 errD0 = errD_last
+            g_grads, e_grads = sync_grads((g_grads, e_grads))
             if state.e_mask is not None:
                 e_grads = mask_grads(e_grads, state.e_mask)
             g_params, g_opt = adam_apply(self.tx, g_grads, state.g_opt,
@@ -421,13 +484,18 @@ class GANTrainer:
                 g2_loss_fn, has_aux=True)(
                     g_params, e_params, g_stats, e_stats, images, onehot_src,
                     onehot_tgt, latent, g2_keys)
-            g_params, g_opt = adam_apply(self.tx, g2_grads, g_opt, g_params,
-                                         lr_g)
+            g_params, g_opt = adam_apply(self.tx, sync_grads(g2_grads),
+                                         g_opt, g_params, lr_g)
 
             metrics = dict(metrics)
             metrics["errD"] = errD0
             metrics["errG"] = metrics.pop("errG_phase1") + errG_ex
             metrics["errG_ex"] = errG_ex
+            if ax is not None:
+                # shard-local means -> global means (replicated batch-global
+                # terms pass through pmean unchanged)
+                metrics = jax.tree.map(lambda v: jax.lax.pmean(v, ax),
+                                       metrics)
 
             new_state = state.replace(
                 step=state.step + 1,
@@ -448,10 +516,19 @@ class GANTrainer:
         opts = ({"xla_tpu_scoped_vmem_limit_kib": "65536"}
                 if jax.default_backend() == "tpu" else None)
         if self.mesh is not None:
+            step = train_step
+            if ax is not None:
+                # one collective per grad tree instead of GSPMD's
+                # per-call-site partial all-reduces (see __init__ docstring)
+                step = jax.shard_map(
+                    train_step, mesh=self.mesh,
+                    in_specs=(P(), P("data"), P("data"), P("data"),
+                              P(), P(), P(), P()),
+                    out_specs=(P(), P()), check_vma=False)
             repl = NamedSharding(self.mesh, P())
             data = NamedSharding(self.mesh, P("data"))
             return jax.jit(
-                train_step, donate_argnums=donate,
+                step, donate_argnums=donate,
                 in_shardings=(repl, data, data, data, repl, repl, repl, repl),
                 out_shardings=(repl, repl),
                 compiler_options=opts,
@@ -533,6 +610,13 @@ class GANTrainer:
         if latent is None:
             latent = jax.random.normal(rng, (images.shape[0],
                                              self.cfg.model.ndim), jnp.float32)
+        else:
+            latent = jnp.asarray(latent, jnp.float32)
+            if latent.ndim == 1:  # one style for the whole batch
+                # (the sweep notebooks apply a single latent across a batch,
+                # util.py:356-373)
+                latent = jnp.broadcast_to(latent,
+                                          (images.shape[0], latent.shape[0]))
         cond = jnp.concatenate([onehot, latent], 1)
         return self._jit_G_apply(state.g_params, state.g_stats, images,
                                  cond), latent

@@ -66,6 +66,7 @@ def train_gan(cfg: ExperimentConfig, out_dir: str,
               attr_file: Optional[str] = None,
               label_root: Optional[str] = None,
               mesh=None,
+              grad_sync: str = "auto",
               epochs: Optional[int] = None,
               classifier_ckpt: Optional[str] = None,
               sample_grids: bool = True,
@@ -118,7 +119,7 @@ def train_gan(cfg: ExperimentConfig, out_dir: str,
             f"dataset ({len(train_ds)}) smaller than batch "
             f"({cfg.train.batch_size}); lower batch_size or add data")
 
-    trainer = GANTrainer(cfg, mesh=mesh)
+    trainer = GANTrainer(cfg, mesh=mesh, grad_sync=grad_sync)
     e_override = None
     if cfg.pretrained_encoder:
         if classifier_ckpt is None:

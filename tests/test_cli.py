@@ -66,7 +66,7 @@ def trained_run(tmp_path_factory):
     _run("train.py", "--preset", "03_srgan_nopretraining", "--synthetic",
          "--synthetic-per-class", "10", "--batch-size", "8", "--epochs", "1",
          "--unrolled-k", "1", "--train-num", "8", "--no-sample-grids",
-         *TINY, "--out", run,
+         "--lr-gamma", "0.5", *TINY, "--out", run,
          timeout=900)
     # fixture quirk: train.py points the synthetic builder at a shared /tmp
     # dir by default; per-test isolation comes from --out only, which is
@@ -76,6 +76,9 @@ def trained_run(tmp_path_factory):
     assert os.path.exists(os.path.join(run, "metrics.jsonl"))
     cfgd = json.load(open(os.path.join(run, "config.json")))
     assert cfgd["model"]["image_size"] == 64 and cfgd["model"]["g_nch"] == 8
+    # --lr-gamma override plumbed through to the persisted config (lr is a
+    # traced scalar, so this costs no recompile)
+    assert cfgd["train"]["lr_gamma"] == 0.5
     return root, run
 
 

@@ -199,3 +199,13 @@ def test_transform_and_encode_roundtrip():
     mu, logvar, cls_out = t.encode(state, fake)
     assert mu.shape == (8, cfg.model.ndim)
     assert cls_out.shape == (8, 4)
+    # a single 1-D latent broadcasts across the batch (sweep-notebook usage,
+    # util.py:356-373) and equals the explicitly tiled call
+    one = np.asarray(jax.random.normal(jax.random.PRNGKey(7),
+                                       (cfg.model.ndim,)))
+    f1, l1 = t.transform(state, batch["image"], batch["target_label"],
+                         latent=one)
+    f2, _ = t.transform(state, batch["image"], batch["target_label"],
+                        latent=np.tile(one, (8, 1)))
+    assert l1.shape == (8, cfg.model.ndim)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2))
